@@ -1,0 +1,78 @@
+"""JPEG encoder: decode-PSNR oracle via Pillow (reference test_jpeg.py:39-45)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpu_darktable.ops import jpeg as jpeg_ops
+
+
+def _test_image(h=96, w=128):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 128 + 100 * np.sin(xx / 9.0)
+    g = 128 + 80 * np.cos(yy / 13.0)
+    b = 128 + 60 * np.sin((xx + yy) / 17.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize('subsampling', [0, 1])
+def test_encode_decodes_and_matches(subsampling):
+    img = _test_image()
+    data = jpeg_ops.encode_jpeg(img, quality=94, input_format=3, subsampling=subsampling)
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert('RGB'))
+    assert decoded.shape == img.shape
+    assert _psnr(img, decoded) > 35.0
+
+
+def test_gray():
+    img = _test_image()
+    data = jpeg_ops.encode_jpeg(img, quality=90, input_format=3, subsampling=2)
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert('L'))
+    y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    assert _psnr(y, decoded) > 35.0
+
+
+def test_bgr_formats():
+    img = _test_image()
+    data = jpeg_ops.encode_jpeg(img[..., ::-1].copy(), quality=94, input_format=2, subsampling=0)
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert('RGB'))
+    assert _psnr(img, decoded) > 35.0
+
+
+def test_planar_input():
+    img = _test_image()
+    planar = np.moveaxis(img, -1, 0).copy()
+    data = jpeg_ops.encode_jpeg(planar, quality=94, input_format=1, subsampling=0)
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert('RGB'))
+    assert _psnr(img, decoded) > 35.0
+
+
+def test_quality_affects_size():
+    img = _test_image()
+    lo = jpeg_ops.encode_jpeg(img, quality=30)
+    hi = jpeg_ops.encode_jpeg(img, quality=95)
+    assert len(hi) > len(lo)
+
+
+def test_odd_sizes():
+    img = _test_image(h=33, w=47)
+    data = jpeg_ops.encode_jpeg(img, quality=90, subsampling=1)
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert('RGB'))
+    assert decoded.shape == img.shape
+    assert _psnr(img, decoded) > 30.0
+
+
+def test_wrapper_class():
+    import tpu_darktable as td
+
+    img = _test_image()
+    data = td.Jpeg().encode(img, quality=94, input_format=td.InputFormat.RGBI)
+    decoded = np.asarray(Image.open(io.BytesIO(np.asarray(data).tobytes())).convert('RGB'))
+    assert _psnr(img, decoded) > 35.0

@@ -1,0 +1,62 @@
+"""Bilateral grid + local Laplacian behaviour tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_darktable.ops import bilateral, laplacian
+
+
+def test_bilateral_zero_detail_is_identity(rng):
+    lum = rng.random((64, 64)).astype(np.float32)
+    out = np.asarray(bilateral.bilateral_process(jnp.asarray(lum), 2.0, 0.2, 0.0))
+    np.testing.assert_allclose(out, lum, atol=1e-6)
+
+
+def test_bilateral_grid_size_matches_reference_formula():
+    # 4096x3000, sigma_s=2, sigma_r=0.2
+    gx, gy, gz = bilateral.compute_grid_size(4096, 3000, 2.0, 0.2)
+    assert (gx, gy, gz) == (2049, 1501, 6)
+    # clamped case: tiny sigma on large image hits the 3000-cell cap
+    gx, gy, gz = bilateral.compute_grid_size(4096, 3000, 1.0, 0.05)
+    assert gx == 3001 and gz == 21
+
+
+def test_bilateral_enhances_contrast(rng):
+    # step edge: detail boost should increase local contrast
+    lum = np.full((64, 64), 0.4, dtype=np.float32)
+    lum[:, 32:] = 0.6
+    out = np.asarray(bilateral.bilateral_process(jnp.asarray(lum), 4.0, 0.1, 0.5))
+    assert np.isfinite(out).all()
+    assert (out.max() - out.min()) > (0.2 - 1e-3)
+
+
+def test_laplacian_identity_params(rng):
+    # shadows=1, highlights=1, clarity=0 makes the remap curve the identity,
+    # so the assembled pyramid reconstructs the input (modulo fp16 storage).
+    lum = (rng.random((96, 128)) * 0.8 + 0.1).astype(np.float32)
+    params = laplacian.LaplacianParams(sigma=0.2, shadows=1.0, highlights=1.0, clarity=0.0)
+    out = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), params))
+    np.testing.assert_allclose(out, lum, atol=5e-3)
+
+
+def test_laplacian_identity_f32_storage(rng):
+    lum = (rng.random((64, 64)) * 0.8 + 0.1).astype(np.float32)
+    params = laplacian.LaplacianParams()
+    out = np.asarray(
+        laplacian.local_laplacian(jnp.asarray(lum), params, storage_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(out, lum, atol=1e-5)
+
+
+def test_laplacian_clarity_changes_output(rng):
+    lum = (rng.random((64, 64)) * 0.8 + 0.1).astype(np.float32)
+    p0 = laplacian.LaplacianParams(clarity=0.0)
+    p1 = laplacian.LaplacianParams(clarity=0.5)
+    out0 = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), p0))
+    out1 = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), p1))
+    assert np.abs(out1 - out0).max() > 1e-3
+
+
+def test_num_levels():
+    assert laplacian.num_levels_for(4096, 3000) == 11
+    assert laplacian.num_levels_for(64, 64) == 6

@@ -1,0 +1,151 @@
+"""Native (C++) runtime helpers: JPEG bit-packing and host RAW decode.
+
+Compiled lazily with the system g++ into a cached shared library and bound
+via ctypes; every entry point has a pure-numpy fallback so the package works
+without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _build_lib() -> Path | None:
+    src = Path(__file__).parent / 'bitpack.cpp'
+    cache_dir = Path(os.environ.get('TPU_DARKTABLE_CACHE', Path.home() / '.cache' / 'tpu_darktable'))
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    lib_path = cache_dir / 'libtdtpu.so'
+    if lib_path.exists() and lib_path.stat().st_mtime >= src.stat().st_mtime:
+        return lib_path
+    with tempfile.NamedTemporaryFile(suffix='.so', dir=cache_dir, delete=False) as tmp:
+        tmp_path = Path(tmp.name)
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-o', str(tmp_path), str(src)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        tmp_path.replace(lib_path)
+        return lib_path
+    except Exception:
+        tmp_path.unlink(missing_ok=True)
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.jpeg_pack_bits.restype = ctypes.c_longlong
+        lib.jpeg_pack_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_longlong,
+        ]
+        lib.decode12_u16_host.restype = None
+        lib.decode12_u16_host.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_longlong,
+            ctypes.c_int,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Pack (code, length) emissions MSB-first with JPEG 0xFF stuffing.
+
+    Uses the C++ packer when available, else a numpy fallback.
+    """
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        capacity = int(lengths.astype(np.int64).sum() // 8 * 2 + 64)
+        out = np.empty(capacity, dtype=np.uint8)
+        n = lib.jpeg_pack_bits(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(codes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            capacity,
+        )
+        if n >= 0:
+            return out[:n]
+    return _pack_bits_numpy(codes, lengths)
+
+
+def _pack_bits_numpy(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized numpy bit packer (correctness fallback)."""
+    lengths64 = lengths.astype(np.int64)
+    total_bits = int(lengths64.sum())
+    offsets = np.concatenate(([0], np.cumsum(lengths64)[:-1]))
+    n_bytes = (total_bits + 7) // 8
+
+    # Place each emission into an 8-byte window starting at its byte offset.
+    buf = np.zeros(n_bytes + 8, dtype=np.uint8)
+    byte_idx = offsets // 8
+    bit_in_byte = offsets % 8
+    shift = 64 - bit_in_byte - lengths64
+    vals = codes.astype(np.uint64) << shift.astype(np.uint64)
+    for b in range(8):
+        part = ((vals >> np.uint64(8 * (7 - b))) & np.uint64(0xFF)).astype(np.uint8)
+        np.bitwise_or.at(buf, byte_idx + b, part)
+    buf = buf[:n_bytes]
+    # pad final partial byte with 1s
+    rem = total_bits % 8
+    if rem:
+        buf[-1] |= (1 << (8 - rem)) - 1
+    # 0xFF byte stuffing
+    is_ff = buf == 0xFF
+    if is_ff.any():
+        reps = np.where(is_ff, 2, 1)
+        out = np.zeros(int(reps.sum()), dtype=np.uint8)
+        pos = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        out[pos] = buf
+        return out
+    return buf
+
+
+def decode12_u16_host(packed: np.ndarray, ids_format: bool = False) -> np.ndarray:
+    """Host-side packed-12 decode (csrc/packed.cu semantics) for file loaders."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    if packed.size % 3:
+        raise ValueError('packed length must be multiple of 3')
+    n_pairs = packed.size // 3
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(n_pairs * 2, dtype=np.uint16)
+        lib.decode12_u16_host(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            n_pairs,
+            1 if ids_format else 0,
+        )
+        return out
+    t = packed.reshape(-1, 3).astype(np.uint16)
+    if ids_format:
+        p0 = (t[:, 0] << 4) | (t[:, 2] & 0xF)
+        p1 = (t[:, 1] << 4) | (t[:, 2] >> 4)
+    else:
+        p0 = ((t[:, 1] & 0xF) << 8) | t[:, 0]
+        p1 = (t[:, 2] << 4) | (t[:, 1] >> 4)
+    return np.stack((p0, p1), axis=1).reshape(-1)

@@ -1,0 +1,183 @@
+"""Bilateral-grid local contrast boost on luminance.
+
+TPU-native rebuild of csrc/local_contrast/bilateral.cu (darktable bilateral
+grid).  The reference splats every pixel into a 3-D grid with trilinear
+atomics (bilateral.cu:56-69, :99-112); atomically-scattered splats are the
+worst case for XLA/TPU, so the design here exploits structure instead:
+
+- the x/y grid coordinates are *data-independent* (pos / sigma_s), so the
+  spatial splat is a fixed banded linear operator per axis.  It is applied
+  as a windowed gather-and-weight (each grid row/column pulls from a static
+  pixel window), which is exact, linear-time, and scatter-free;
+- only the z (luminance) coordinate is data-dependent; the grid is built one
+  z-slab at a time inside a small static loop (Z <= 50, typically ~6), with
+  the per-slab tent weights computed as elementwise ops;
+- the 5-tap grid blurs and the z-derivative blur keep the reference's
+  truncated-edge behaviour (zero-pad semantics, bilateral.cl heritage,
+  bilateral.cu:132-204);
+- the slice is the transposed windowed gather plus a per-slab tent-weighted
+  accumulation (bilateral.cu:208-228).
+
+Grid sizing matches BilateralImpl::compute_grid_size (bilateral.cu:273-299);
+splat/slice use the *original* sigmas like the reference's process() does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+def compute_grid_size(width: int, height: int, sigma_s: float, sigma_r: float):
+    """(X, Y, Z) grid dims (bilateral.cu:273-299)."""
+    ss = max(sigma_s, 0.5)
+    l_range = 1.0
+
+    def _clamp(v, lo, hi):
+        return min(max(v, lo), hi)
+
+    gx = _clamp(round(width / ss), 4.0, 3000.0)
+    gy = _clamp(round(height / ss), 4.0, 3000.0)
+    gz = _clamp(round(l_range / sigma_r), 4.0, 50.0)
+
+    eff_sigma_s = max(height / gy, width / gx)
+    eff_sigma_r = l_range / gz
+    return (
+        int(math.ceil(width / eff_sigma_s)) + 1,
+        int(math.ceil(height / eff_sigma_s)) + 1,
+        int(math.ceil(l_range / eff_sigma_r)) + 1,
+    )
+
+
+def _axis_splat_operator(n_pixels: int, n_cells: int, sigma: float):
+    """Static windowed splat weights for one spatial axis.
+
+    Pixel p lands at g = clamp(p/sigma, 0, n_cells-1), contributing
+    (1-frac) to cell ib = min(floor(g), n_cells-2) and frac to ib+1
+    (make_grid_sample, bilateral.cu:71-87).  Returns (idx, wgt) with shape
+    (n_cells, M): cell c accumulates sum_m wgt[c, m] * value[idx[c, m]].
+    """
+    p = np.arange(n_pixels, dtype=np.float64)
+    g = np.clip(p / sigma, 0.0, n_cells - 1)
+    ib = np.minimum(g.astype(np.int64), n_cells - 2)
+    frac = (g - ib).astype(np.float32)
+
+    m_width = int(np.ceil(sigma)) + 2
+    idx = np.zeros((n_cells, m_width), dtype=np.int32)
+    wgt = np.zeros((n_cells, m_width), dtype=np.float32)
+    for c in range(n_cells):
+        members = np.nonzero((ib == c - 1) | (ib == c))[0]
+        if len(members) > m_width:  # widen if needed (clamped-edge pileup)
+            extra = len(members) - m_width
+            idx = np.pad(idx, ((0, 0), (0, extra)))
+            wgt = np.pad(wgt, ((0, 0), (0, extra)))
+            m_width = len(members)
+        for m, px in enumerate(members):
+            idx[c, m] = px
+            wgt[c, m] = frac[px] if ib[px] == c - 1 else 1.0 - frac[px]
+    return idx, wgt
+
+
+def _axis_slice_weights(n_pixels: int, n_cells: int, sigma: float):
+    """Static gather weights for slicing: pixel p reads cells ib, ib+1."""
+    p = np.arange(n_pixels, dtype=np.float64)
+    g = np.clip(p / sigma, 0.0, n_cells - 1)
+    ib = np.minimum(g.astype(np.int64), n_cells - 2).astype(np.int32)
+    frac = (g - ib).astype(np.float32)
+    return ib, frac
+
+
+def _blur5(grid, axis: int, weights):
+    """5-tap correlation along `axis` with zero boundary (truncated taps),
+    matching blur_line / blur_line_z edge handling (bilateral.cu:132-204)."""
+    pads = [(0, 0)] * grid.ndim
+    pads[axis] = (2, 2)
+    p = jnp.pad(grid, pads)
+    n = grid.shape[axis]
+    out = 0.0
+    for t, wt in enumerate(weights):
+        if wt == 0.0:
+            continue
+        sl = [slice(None)] * grid.ndim
+        sl[axis] = slice(t, t + n)
+        out = out + wt * p[tuple(sl)]
+    return out
+
+
+def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float):
+    """Detail boost on an (H, W) luminance plane (BilateralImpl::process,
+    bilateral.cu:358-385).
+
+    Returns the processed (H, W) luminance.
+    """
+    lum = jnp.asarray(luminance, dtype=_F32)
+    h, w = lum.shape
+    gx, gy, gz = compute_grid_size(w, h, sigma_s, sigma_r)
+
+    idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
+    idx_y, wgt_y = _axis_splat_operator(h, gy, sigma_s)
+    jidx_x, jwgt_x = jnp.asarray(idx_x), jnp.asarray(wgt_x)
+    jidx_y, jwgt_y = jnp.asarray(idx_y), jnp.asarray(wgt_y)
+
+    # Per-pixel z coordinates (data dependent).
+    g_z = jnp.clip(lum / sigma_r, 0.0, gz - 1)
+
+    contrib = jnp.float32(1.0 / (sigma_s * sigma_s))
+
+    def xy_splat(img):
+        """Apply the separable spatial splat to an (H, W) map -> (gy, gx)."""
+        # x axis: (H, W) -> (H, gx)
+        gathered = img[:, jidx_x.reshape(-1)].reshape(h, gx, -1)
+        sx = jnp.sum(gathered * jwgt_x[None], axis=-1)
+        # y axis: (H, gx) -> (gy, gx)
+        gathered = sx[jidx_y.reshape(-1), :].reshape(gy, -1, gx)
+        return jnp.sum(gathered * jwgt_y[:, :, None], axis=1)
+
+    # Build the grid one z slab at a time: grid[z] = XYsplat(tent_z * 1/ss^2).
+    slabs = []
+    for z in range(gz):
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(g_z - z))
+        slabs.append(xy_splat(wz * contrib))
+    grid = jnp.stack(slabs, axis=0)  # (gz, gy, gx)
+
+    # Blur x, then y (gaussian), then z (derivative) - bilateral.cu:370-376.
+    w_gauss = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+    w_deriv = (-2.0 / 16.0, -4.0 / 16.0, 0.0, 4.0 / 16.0, 2.0 / 16.0)
+    grid = _blur5(grid, 2, w_gauss)
+    grid = _blur5(grid, 1, w_gauss)
+    grid = _blur5(grid, 0, w_deriv)
+
+    # Slice: trilinear read of the blurred-derivative grid (bilateral.cu:208-228).
+    ib_x, frac_x = _axis_slice_weights(w, gx, sigma_s)
+    ib_y, frac_y = _axis_slice_weights(h, gy, sigma_s)
+    jib_x, jfrac_x = jnp.asarray(ib_x), jnp.asarray(frac_x)
+    jib_y, jfrac_y = jnp.asarray(ib_y), jnp.asarray(frac_y)
+
+    ib_z = jnp.minimum(g_z.astype(jnp.int32), gz - 2)
+    frac_z = g_z - ib_z.astype(_F32)
+
+    def xy_slice(slab):
+        """Bilinear-sample a (gy, gx) slab at every pixel -> (H, W)."""
+        r0 = slab[jib_y, :]
+        r1 = slab[jib_y + 1, :]
+        ry = r0 * (1.0 - jfrac_y)[:, None] + r1 * jfrac_y[:, None]
+        c0 = ry[:, jib_x]
+        c1 = ry[:, jib_x + 1]
+        return c0 * (1.0 - jfrac_x)[None, :] + c1 * jfrac_x[None, :]
+
+    l_diff = jnp.zeros((h, w), dtype=_F32)
+    for z in range(gz):
+        wz = jnp.where(
+            ib_z == z, 1.0 - frac_z, jnp.where(ib_z + 1 == z, frac_z, 0.0)
+        )
+        l_diff = l_diff + wz * xy_slice(grid[z])
+
+    norm = -detail * sigma_r * 4.0
+    return jnp.maximum(0.0, lum + norm * l_diff)
+
+
+__all__ = ['bilateral_process', 'compute_grid_size']

@@ -1,0 +1,142 @@
+"""White balance application and estimation on Bayer mosaics.
+
+TPU-native rebuild of csrc/white_balance.cu.  Application is a masked
+pointwise multiply (the CFA gain map is a static constant under jit);
+estimation replaces the CUDA sample-collection kernel + torch.quantile with
+pure jnp reductions, so it runs inside the same XLA program with no host
+sync.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .bayer import BayerPattern, fc_tile
+
+
+def _gain_tile(pattern: BayerPattern):
+    """Static (2, 2) index map into the gains vector: 0=R, 1=G, 2=B.
+
+    Mirrors the channel switch in apply_white_balance_kernel
+    (white_balance.cu:25-38): code 0 -> R gain, code 2 -> B gain, else G.
+    """
+    codes = fc_tile(pattern)
+    tile = np.where(codes == 0, 0, np.where(codes == 2, 2, 1))
+    return tile.astype(np.int32)
+
+
+def apply_white_balance(bayer_image, gains, pattern: BayerPattern):
+    """Apply per-CFA-site gains, clamped to [0, 1] (white_balance.cu:10-42).
+
+    Args:
+        bayer_image: (..., H, W) Bayer mosaic, float32.
+        gains: (3,) [R, G, B] gains.
+        pattern: CFA pattern.
+
+    Returns:
+        White-balanced mosaic, same shape.
+    """
+    bayer_image = jnp.asarray(bayer_image)
+    gains = jnp.asarray(gains, dtype=bayer_image.dtype)
+    h, w = bayer_image.shape[-2], bayer_image.shape[-1]
+    tile = _gain_tile(pattern)
+    gain_tile = gains[tile]  # (2, 2)
+    reps = ((h + 1) // 2, (w + 1) // 2)
+    gain_map = jnp.tile(gain_tile, reps)[:h, :w]
+    return jnp.clip(bayer_image * gain_map, 0.0, 1.0)
+
+
+def _bayer_2x2_to_rgb(p00, p01, p10, p11, pattern: BayerPattern):
+    """RGB from one 2x2 Bayer cell (bayer_device.h:36-44)."""
+    match pattern:
+        case BayerPattern.RGGB:
+            return p00, (p01 + p10) * 0.5, p11
+        case BayerPattern.BGGR:
+            return p11, (p01 + p10) * 0.5, p00
+        case BayerPattern.GRBG:
+            return p01, (p00 + p11) * 0.5, p10
+        case BayerPattern.GBRG:
+            return p10, (p00 + p11) * 0.5, p01
+    raise ValueError(f'Invalid bayer pattern: {pattern}')
+
+
+def estimate_white_balance(bayer_images, pattern: BayerPattern, quantile: float = 0.98, stride: int = 8):
+    """Estimate [R, G, B] gains from bright unsaturated 2x2 cells.
+
+    Rebuild of white_balance.cu:57-162 + the Python default quantile
+    (white_balance.py:31).  The reference samples 2x2 cells at positions
+    (2x, 2y) for x < W/stride - 1, y < H/stride - 1 (the stride only limits
+    the sample-grid extent, white_balance.cu:63-66); we reproduce that
+    sampling so gains match.  The quantile/selection runs as masked jnp
+    reductions instead of boolean-index + torch.quantile, avoiding dynamic
+    shapes so the whole estimate jits.
+
+    Args:
+        bayer_images: list of (H, W) mosaics, or a (B, H, W) batch.
+        pattern: CFA pattern.
+        quantile: bright-pixel intensity quantile threshold.
+        stride: sample-grid divisor.
+
+    Returns:
+        (3,) gains with G = 1.
+    """
+    if isinstance(bayer_images, (list, tuple)):
+        batch = jnp.stack([jnp.asarray(im) for im in bayer_images])
+    else:
+        batch = jnp.asarray(bayer_images)
+        if batch.ndim == 2:
+            batch = batch[None]
+    _, h, w = batch.shape
+    sw = w // stride
+    sh = h // stride
+    # Sample grid: positions (x, y) with x+1 < sw, y+1 < sh, cells at (2y, 2x).
+    nx, ny = max(sw - 1, 0), max(sh - 1, 0)
+    if nx == 0 or ny == 0:
+        return jnp.ones(3, dtype=jnp.float32)
+
+    cells = batch[:, : 2 * ny, : 2 * nx]
+    p00 = cells[:, 0::2, 0::2]
+    p01 = cells[:, 0::2, 1::2]
+    p10 = cells[:, 1::2, 0::2]
+    p11 = cells[:, 1::2, 1::2]
+    r, g, b = _bayer_2x2_to_rgb(p00, p01, p10, p11, pattern)
+
+    intensity = r + g + b
+    max_bayer = jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
+    valid = max_bayer < 1.0
+
+    chroma_r = r / intensity
+    chroma_g = g / intensity
+
+    # torch.quantile over valid samples, computed without dynamic shapes:
+    # push invalid intensities to -inf so they sort below every valid one,
+    # then index the quantile position among the valid count.
+    flat_i = intensity.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    n_valid = jnp.sum(flat_valid)
+    sorted_i = jnp.sort(jnp.where(flat_valid, flat_i, -jnp.inf))
+    total = flat_i.shape[0]
+    # position of quantile q among n_valid entries occupying the top of sorted_i
+    q = jnp.float32(quantile)
+    pos_in_valid = q * (n_valid.astype(jnp.float32) - 1.0)
+    lo = jnp.floor(pos_in_valid).astype(jnp.int32)
+    frac = pos_in_valid - lo.astype(jnp.float32)
+    base = total - n_valid
+    v_lo = sorted_i[jnp.clip(base + lo, 0, total - 1)]
+    v_hi = sorted_i[jnp.clip(base + lo + 1, 0, total - 1)]
+    threshold = v_lo + frac * (v_hi - v_lo)
+
+    bright = flat_valid & (flat_i >= threshold)
+    n_bright = jnp.maximum(jnp.sum(bright), 1)
+    mean_r = jnp.sum(jnp.where(bright, chroma_r.reshape(-1), 0.0)) / n_bright
+    mean_g = jnp.sum(jnp.where(bright, chroma_g.reshape(-1), 0.0)) / n_bright
+
+    gains = jnp.stack(
+        (mean_r / mean_g, jnp.float32(1.0), (1.0 - mean_r - mean_g) / mean_g)
+    )
+    # No valid samples -> unit gains (white_balance.cu:139-141, :147-149).
+    return jnp.where(n_valid > 0, gains, jnp.ones(3, dtype=jnp.float32))
+
+
+__all__ = ['apply_white_balance', 'estimate_white_balance']

@@ -1,0 +1,185 @@
+"""Overlapped-tile spectral Wiener denoise + channel noise estimation.
+
+TPU-native rebuild of csrc/denoise/ (denoise.cu, fft.h, window.h).  The
+reference runs one CUDA block per KxK tile with an in-register warp FFT and
+atomic overlap-add.  The TPU design regroups the overlapping tiles into
+overlap_factor^2 *non-overlapping* cosets (tiles whose grid indices are
+congruent mod K/stride): each coset is a plain reshape of a reflect-indexed
+slab of the image, the 2-D FFT becomes two small complex matmuls (a KxK DFT
+is MXU food), and the overlap-add becomes coset-wise dense adds - no
+scatters, no atomics, bit-deterministic.
+
+Window generation matches window.h:17-42 (separable Gaussian, sum of squares
+normalized to 1); the spectral gain matches apply_gain (denoise.cu:181-186);
+tile/grid geometry matches WienerImpl::_process (denoise.cu:280-330),
+including the asymmetric reflect indexing of reflect_index (denoise.cu:118).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+_EPS = 1e-15
+
+
+def _gaussian_window(k: int, weight: float) -> np.ndarray:
+    """1-D Gaussian window, L2-normalized (window.h:17-42)."""
+    half = k / 2.0
+    scale = weight * half * half
+    r = np.linspace(-half + 0.5, half - 0.5, k, dtype=np.float64)
+    vals = np.exp(-(r * r) / scale)
+    vals = vals / np.sqrt(np.sum(vals * vals))
+    return vals.astype(np.float32)
+
+
+def _reflect_index(idx: np.ndarray, limit: int) -> np.ndarray:
+    """reflect_index (denoise.cu:118-122): mirror without edge repeat below 0,
+    mirror with edge repeat above limit-1 (asymmetric, replicated exactly)."""
+    idx = np.where(idx < 0, -idx, idx)
+    idx = np.where(idx >= limit, 2 * limit - idx - 1, idx)
+    return np.clip(idx, 0, limit - 1)
+
+
+def _dft_matrix(k: int, inverse: bool) -> np.ndarray:
+    n = np.arange(k)
+    sign = 1.0 if inverse else -1.0
+    m = np.exp(sign * 2j * np.pi * np.outer(n, n) / k)
+    if inverse:
+        m = m / k
+    return m.astype(np.complex64)
+
+
+def wiener_denoise(
+    image,
+    noise_sigmas,
+    tile_size: int = 32,
+    overlap_factor: int = 4,
+    fft_scale: float = 0.3,
+    interp_scale: float = 0.3,
+):
+    """Wiener-filter an (H, W, C) image, C in {1, 3}.
+
+    Args:
+        image: (H, W, C) float32.
+        noise_sigmas: scalar or (C,) per-channel noise sigma.
+        tile_size: K in {16, 32}.
+        overlap_factor: 2, 4, or 8; tile stride = K / overlap_factor.
+
+    Returns:
+        (H, W, C) float32 denoised image.
+    """
+    x = jnp.asarray(image, dtype=_F32)
+    if x.ndim == 2:
+        x = x[..., None]
+    h, w, c = x.shape
+    k = tile_size
+    if k not in (16, 32):
+        raise ValueError(f'tile_size must be 16 or 32, got {k}')
+    if overlap_factor not in (2, 4, 8):
+        raise ValueError(f'overlap_factor must be 2, 4, or 8, got {overlap_factor}')
+
+    sigmas = jnp.broadcast_to(jnp.asarray(noise_sigmas, dtype=_F32).reshape(-1), (c,))
+
+    stride = k // overlap_factor
+    ov = overlap_factor
+    h_pad, w_pad = h + 2 * k, w + 2 * k
+    # grid counts (denoise.cu:288-291): grid_start = -(K/stride)
+    grid_h = (h + k + stride - 1) // stride + ov
+    grid_w = (w + k + stride - 1) // stride + ov
+
+    wf = _gaussian_window(k, fft_scale)
+    wi = _gaussian_window(k, interp_scale)
+    w2f = np.outer(wf, wf)  # fft window (analysis)
+    w2i = np.outer(wi, wi)  # interp window (synthesis)
+    w2f_j = jnp.asarray(w2f)
+    w2i_j = jnp.asarray(w2i)
+
+    dft = jnp.asarray(_dft_matrix(k, inverse=False))
+    idft = jnp.asarray(_dft_matrix(k, inverse=True))
+
+    acc = jnp.zeros((h_pad, w_pad, c), dtype=_F32)
+    mask = jnp.zeros((h_pad, w_pad), dtype=_F32)
+
+    sig2 = (sigmas * sigmas)[None, None, None, None, :]
+
+    for ry in range(ov):
+        n_ty = -(-(grid_h - ry) // ov)  # tiles in this row-coset
+        # tile g = ry + m*ov covers source rows (g - ov)*stride + [0, K)
+        row0 = (ry - ov) * stride
+        rows = _reflect_index(row0 + np.arange(n_ty * k), h)
+        out_r0 = row0 + k  # output offset in padded coords
+        n_keep_r = min(n_ty * k, h_pad - out_r0)
+        for rx in range(ov):
+            n_tx = -(-(grid_w - rx) // ov)
+            col0 = (rx - ov) * stride
+            cols = _reflect_index(col0 + np.arange(n_tx * k), w)
+            out_c0 = col0 + k
+            n_keep_c = min(n_tx * k, w_pad - out_c0)
+
+            slab = x[jnp.asarray(rows)][:, jnp.asarray(cols)]  # (n_ty*K, n_tx*K, C)
+            tiles = slab.reshape(n_ty, k, n_tx, k, c).transpose(0, 2, 1, 3, 4)
+
+            mean = jnp.mean(tiles, axis=(2, 3), keepdims=True)
+            v = (tiles - mean) * w2f_j[None, None, :, :, None]
+
+            # 2-D DFT as two complex matmuls over the KxK tile axes.
+            # precision=HIGHEST keeps the MXU in float32 passes; the default
+            # bfloat16 rounding would blow the parity budget.
+            hp = jax.lax.Precision.HIGHEST
+            vc = v.astype(jnp.complex64)
+            spec = jnp.einsum('ij,abjkc->abikc', dft, vc, precision=hp)
+            spec = jnp.einsum('kj,abijc->abikc', dft, spec, precision=hp)
+
+            power = spec.real**2 + spec.imag**2 + _EPS
+            gain = jnp.maximum(power - sig2, 0.0) / power
+            spec = spec * gain
+
+            out = jnp.einsum('ij,abjkc->abikc', idft, spec, precision=hp)
+            out = jnp.einsum('kj,abijc->abikc', idft, out, precision=hp).real.astype(_F32)
+
+            recon = (out + mean * w2f_j[None, None, :, :, None]) * w2i_j[None, None, :, :, None]
+            recon = recon.transpose(0, 2, 1, 3, 4).reshape(n_ty * k, n_tx * k, c)
+
+            acc = acc.at[out_r0 : out_r0 + n_keep_r, out_c0 : out_c0 + n_keep_c].add(
+                recon[:n_keep_r, :n_keep_c]
+            )
+            tile_mask = jnp.tile((w2f_j * w2i_j), (n_ty, n_tx))
+            mask = mask.at[out_r0 : out_r0 + n_keep_r, out_c0 : out_c0 + n_keep_c].add(
+                tile_mask[:n_keep_r, :n_keep_c]
+            )
+
+    out = acc[k : k + h, k : k + w] / (mask[k : k + h, k : k + w, None] + _EPS)
+    return out
+
+
+def estimate_channel_noise(image, stride: int = 8):
+    """Per-channel noise sigma via Laplacian high-pass + MAD/0.6745
+    (reference denoise.py:131-158).
+
+    Args:
+        image: (H, W, 3) float32.
+
+    Returns:
+        (3,) noise sigmas.
+    """
+    x = jnp.asarray(image, dtype=_F32)
+    ch = jnp.moveaxis(x, -1, 0)  # (3, H, W)
+    p = jnp.pad(ch, ((0, 0), (1, 1), (1, 1)))
+    h, w = x.shape[0], x.shape[1]
+    hf = (
+        4.0 * p[:, 1 : 1 + h, 1 : 1 + w]
+        - p[:, 0:h, 1 : 1 + w]
+        - p[:, 2 : 2 + h, 1 : 1 + w]
+        - p[:, 1 : 1 + h, 0:w]
+        - p[:, 1 : 1 + h, 2 : 2 + w]
+    )
+    sub = hf[:, ::stride, ::stride].reshape(3, -1)
+    med = jnp.median(sub, axis=1, keepdims=True)
+    mad = jnp.median(jnp.abs(sub - med), axis=1)
+    return mad / 0.6745
+
+
+__all__ = ['estimate_channel_noise', 'wiener_denoise']

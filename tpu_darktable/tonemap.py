@@ -1,0 +1,27 @@
+"""Public tonemap module - mirrors reference torch_darktable/tonemap.py."""
+
+from .ops.tonemap import (
+    TonemapParameters,
+    aces_tonemap,
+    adaptive_aces_tonemap,
+    compute_image_bounds,
+    compute_image_metrics,
+    linear_tonemap,
+    metrics_from_dict,
+    metrics_to_dict,
+    print_metrics,
+    reinhard_tonemap,
+)
+
+__all__ = [
+    'TonemapParameters',
+    'aces_tonemap',
+    'adaptive_aces_tonemap',
+    'compute_image_bounds',
+    'compute_image_metrics',
+    'linear_tonemap',
+    'metrics_from_dict',
+    'metrics_to_dict',
+    'print_metrics',
+    'reinhard_tonemap',
+]
