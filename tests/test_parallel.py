@@ -1,0 +1,89 @@
+"""Sharding: batch DP over the virtual 8-device mesh + spatial row sharding.
+
+The distributed-correctness suite the reference never had (SURVEY.md
+section 4): sharded output must equal single-device output exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tpu_darktable as td
+from tpu_darktable.ops import packed, rcd, demosaic
+from tpu_darktable.parallel import (
+    make_mesh,
+    shard_batch,
+    sharded_pipeline,
+    spatial_shard_map_demosaic,
+)
+from tpu_darktable.pipeline.config import Debayer, ImageProcessingSettings, ToneMapper
+from tpu_darktable.pipeline.image_processor import build_pipeline_fn
+
+
+def _settings(**kw):
+    defaults = dict(
+        debayer=Debayer.rcd, postprocess=True, enable_denoise=True,
+        enable_bilateral=True, tone_mapping=ToneMapper.reinhard,
+        tone_intensity=2.5, vibrance=0.5,
+    )
+    defaults.update(kw)
+    return ImageProcessingSettings(**defaults)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_batch_sharded_pipeline_matches_single_device(rng):
+    h, w = 64, 96
+    n = 8
+    mosaics = (rng.random((n, h, w)) * 0.8).astype(np.float32)
+    byte_batch = np.stack([
+        np.asarray(packed.encode12_float(jnp.asarray(m.reshape(-1)))) for m in mosaics
+    ])
+
+    settings = _settings()
+    fn = build_pipeline_fn(settings, (w, h), td.BayerPattern.RGGB,
+                           td.PackedFormat.Packed12, has_white_balance=True)
+    wb = jnp.asarray([1.2, 1.0, 1.1])
+    b0 = jnp.zeros(2, jnp.float32)
+    m0 = jnp.zeros(5, jnp.float32)
+    alpha = jnp.float32(1.0)
+
+    ref_out, ref_b, ref_m = jax.jit(fn)(jnp.asarray(byte_batch), wb, b0, m0, alpha)
+
+    mesh = make_mesh()
+    sharded_fn = sharded_pipeline(fn, mesh)
+    sh_bytes = shard_batch(jnp.asarray(byte_batch), mesh)
+    out, b, m = sharded_fn(sh_bytes, wb, b0, m0, alpha)
+
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(ref_b), atol=1e-6)
+    # metric reductions change association order across shards: tiny fp drift
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('algorithm', ['rcd', 'ppg', 'bilinear'])
+def test_spatial_sharded_demosaic_matches(rng, algorithm):
+    h, w = 256, 96
+    mosaic = jnp.asarray((rng.random((h, w)) * 0.8).astype(np.float32))
+    mesh = make_mesh()
+
+    if algorithm == 'rcd':
+        ref = rcd.rcd_demosaic(mosaic, td.BayerPattern.RGGB, strict_alias=False)
+    elif algorithm == 'ppg':
+        ref = demosaic.ppg_demosaic(mosaic, td.BayerPattern.RGGB)
+    else:
+        ref = demosaic.bilinear5x5_demosaic(mosaic, td.BayerPattern.RGGB)
+
+    out = spatial_shard_map_demosaic(mosaic, mesh, td.BayerPattern.RGGB, algorithm=algorithm)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_small_frame_falls_back(rng):
+    mosaic = jnp.asarray((rng.random((64, 64)) * 0.8).astype(np.float32))
+    mesh = make_mesh()
+    out = spatial_shard_map_demosaic(mosaic, mesh, td.BayerPattern.RGGB, algorithm='bilinear')
+    ref = demosaic.bilinear5x5_demosaic(mosaic, td.BayerPattern.RGGB)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

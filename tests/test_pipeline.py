@@ -1,0 +1,193 @@
+"""Pipeline layer: config round-trips, camera registry, fused processor."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tpu_darktable as td
+from tpu_darktable.ops import packed
+from tpu_darktable.pipeline import (
+    CameraSettings,
+    Debayer,
+    ImageProcessingSettings,
+    ImageProcessor,
+    ImageSizeMismatchError,
+    ImageTransform,
+    ToneMapper,
+    get_preset,
+    presets,
+    transform,
+    transformed_size,
+)
+from tpu_darktable.pipeline.camera_settings import load_camera_settings_from_dir
+from tpu_darktable.pipeline.config import Float, get_validator
+
+
+def test_camera_settings_roundtrip():
+    """Port of the reference's single unit test
+    (tests/test_camera_settings_serialization.py:6-12)."""
+    camera_settings = load_camera_settings_from_dir()
+    assert set(camera_settings) == {'artichoke', 'beetroot', 'carrot', 'pfr'}
+    for _, settings in camera_settings.items():
+        json_str = settings.model_dump_json()
+        settings_copy = settings.__class__.model_validate_json(json_str)
+        assert settings == settings_copy
+
+
+def test_settings_validation_ranges():
+    with pytest.raises(Exception):
+        ImageProcessingSettings(tone_gamma=99.0)
+    s = ImageProcessingSettings(tone_gamma=2.0)
+    assert s.tone_gamma == 2.0
+
+
+def test_get_validator_introspection():
+    v = get_validator(ImageProcessingSettings, 'tone_gamma')
+    assert isinstance(v, Float)
+    assert v.range == (0.1, 5.0)
+    assert v.description == 'Gamma'
+
+
+def test_presets():
+    assert set(presets) == {'aces', 'adaptive_aces', 'reinhard'}
+    assert get_preset('aces').tone_mapping == ToneMapper.aces
+    with pytest.raises(ValueError):
+        get_preset('nope')
+
+
+def test_transforms_shapes(rng):
+    img = jnp.asarray(rng.random((4, 6, 3)).astype(np.float32))
+    for tf in ImageTransform:
+        out = transform(img, tf)
+        tw, th = transformed_size((6, 4), tf)
+        assert out.shape == (th, tw, 3), tf
+
+
+def _make_bytes(h, w, rng, fmt=td.PackedFormat.Packed12, padding=0):
+    mosaic = (rng.random((h, w)) * 0.8).astype(np.float32)
+    data = np.asarray(packed.encode12_float(jnp.asarray(mosaic.reshape(-1)),
+                                            ids_format=fmt is td.PackedFormat.Packed12_IDS))
+    if padding:
+        data = np.concatenate([data, np.zeros(padding, np.uint8)])
+    return data, mosaic
+
+
+def _settings(**kw):
+    defaults = dict(
+        debayer=Debayer.rcd, postprocess=True, enable_denoise=True,
+        enable_bilateral=True, tone_mapping=ToneMapper.reinhard,
+        tone_intensity=2.5, vibrance=0.5,
+    )
+    defaults.update(kw)
+    return ImageProcessingSettings(**defaults)
+
+
+def test_fused_processor_end_to_end(rng):
+    h, w = 96, 128
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(), white_balance=(1.2, 1.0, 1.1),
+    )
+    data, _ = _make_bytes(h, w, rng)
+    out = proc.process_image_set({'a': jnp.asarray(data), 'b': jnp.asarray(data)})
+    assert set(out) == {'a', 'b'}
+    a = np.asarray(out['a'])
+    assert a.shape == (h, w, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(out['a']), np.asarray(out['b']))
+    assert proc.bounds is not None and proc.metrics is not None
+
+
+def test_fused_matches_piecewise(rng):
+    """One fused XLA program == the reference's per-op chain."""
+    h, w = 96, 128
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(), white_balance=(1.2, 1.0, 1.1),
+    )
+    data, _ = _make_bytes(h, w, rng)
+
+    fused = np.asarray(proc.process(jnp.asarray(data), 'x'))
+
+    # piecewise replay (reference image_processor.py:284-300 flow)
+    proc2 = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(), white_balance=(1.2, 1.0, 1.1),
+    )
+    rgb = proc2.load_image(jnp.asarray(data))
+    bounds = td.compute_image_bounds([rgb], stride=8)
+    rgb = proc2.process_rgb(rgb, bounds)
+    metrics = td.compute_image_metrics([rgb], stride=8)
+    piecewise = np.asarray(proc2.tonemap(rgb, metrics))
+
+    diff = np.abs(fused.astype(int) - piecewise.astype(int))
+    assert diff.max() <= 1, diff.max()  # identical math; allow 1-count rounding
+
+
+def test_ema_state_evolves(rng):
+    h, w = 64, 64
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear, moving_average=0.5),
+    )
+    bright, _ = _make_bytes(h, w, rng)
+    dark = np.asarray(packed.encode12_float(jnp.zeros(h * w) + 0.05))
+    proc.process(jnp.asarray(bright), 'x')
+    b1 = np.asarray(proc.bounds).copy()
+    proc.process(jnp.asarray(dark), 'x')
+    b2 = np.asarray(proc.bounds)
+    assert b2[1] < b1[1]  # max bound moved toward the dark frame
+    assert b2[1] > 0.05   # ...but only part way (EMA)
+
+
+def test_size_mismatch_error(rng):
+    proc = ImageProcessor(
+        (64, 64), td.BayerPattern.RGGB, td.PackedFormat.Packed12, _settings(),
+    )
+    with pytest.raises(ImageSizeMismatchError):
+        proc.load_bytes(jnp.zeros(100, dtype=jnp.uint8))
+
+
+def test_padding_stripped(rng):
+    h, w = 64, 64
+    data, _ = _make_bytes(h, w, rng, padding=256)
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear),
+        padding=256,
+    )
+    out = proc.process(jnp.asarray(data), 'x')
+    assert out.shape == (h, w, 3)
+
+
+def test_update_settings_switches_path(rng):
+    h, w = 64, 64
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear),
+    )
+    data, _ = _make_bytes(h, w, rng)
+    out1 = np.asarray(proc.process(jnp.asarray(data), 'x'))
+    proc.update_settings(_settings(enable_denoise=False, enable_bilateral=False,
+                                   postprocess=False, debayer=Debayer.rcd))
+    out2 = np.asarray(proc.process(jnp.asarray(data), 'x'))
+    assert (out1 != out2).any()
+
+
+def test_per_camera_transforms(rng):
+    h, w = 64, 64
+    data, _ = _make_bytes(h, w, rng)
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear),
+        transforms={'cam1': ImageTransform.rotate_90, 'cam2': ImageTransform.none},
+    )
+    out = proc.process_image_set({'cam1': jnp.asarray(data), 'cam2': jnp.asarray(data)})
+    assert out['cam1'].shape == (w, h, 3)
+    assert out['cam2'].shape == (h, w, 3)
+    np.testing.assert_array_equal(
+        np.asarray(out['cam1']), np.asarray(jnp.rot90(out['cam2'], 1, (0, 1)))
+    )

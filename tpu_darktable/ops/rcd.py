@@ -38,7 +38,7 @@ def _region(h, w, r0, r1, c0, c1):
     return (rows >= r0) & (rows <= r1) & (cols >= c0) & (cols <= c1)
 
 
-def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1):
+def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1, strict_alias=True):
     """Emulate the reference's half-grid buffer with stale-alias background.
 
     The CUDA code writes `plane[idx/2]` at odd columns of rows [r0, r1]
@@ -50,19 +50,27 @@ def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1):
     """
     slots = values_full[..., :, 1::2]  # value at (r, 2j+1) -> slot r*w/2 + j
     written = _region(h, w // 2, r0, r1, (c0 - 1) // 2, (c1 - 1) // 2)
-    flat = background_full.reshape(background_full.shape[:-2] + (h * w,))
-    stale = flat[..., : h * (w // 2)].reshape(background_full.shape[:-2] + (h, w // 2))
-    plane = jnp.where(written, slots, stale)
+    if strict_alias:
+        flat = background_full.reshape(background_full.shape[:-2] + (h * w,))
+        stale = flat[..., : h * (w // 2)].reshape(background_full.shape[:-2] + (h, w // 2))
+        plane = jnp.where(written, slots, stale)
+    else:
+        plane = jnp.where(written, slots, 0.0)
     return jnp.repeat(plane, 2, axis=-1)
 
 
-def rcd_demosaic(image, pattern: BayerPattern):
+def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     """Full RCD: border ladder + 12-step main sequence (RCDImpl::process,
     rcd.cu:601-671).
 
     Args:
         image: (H, W) or (H, W, 1) Bayer mosaic, float32, even dimensions.
         pattern: CFA pattern.
+        strict_alias: replicate the reference's half-grid buffer-alias stale
+            reads bit-for-bit (affects only rows/cols within ~8 px of the
+            RCD_MARGIN boundary).  False uses zeros as the background -
+            cleaner semantics, required for tile/shard decompositions whose
+            block-local aliasing would otherwise differ from the full image.
 
     Returns:
         (H, W, 3) RGB.
@@ -152,8 +160,8 @@ def rcd_demosaic(image, pattern: BayerPattern):
     qd_full = ((s(-3, 3) - s(-1, 1) - s(1, -1) + s(3, -3)) - 3.0 * (s(-2, 2) + s(2, -2)) + 6.0 * c00) ** 2
     # Half-grid planes share the v/h diff buffers (rcd.cu:650-652); reads at
     # unwritten slots alias onto vd/hd data.  _halfgrid_plane reproduces that.
-    pd = _halfgrid_plane(pd_full, vd, h, w, 3, h - 4, 3, w - 4)
-    qd = _halfgrid_plane(qd_full, hd, h, w, 3, h - 4, 3, w - 4)
+    pd = _halfgrid_plane(pd_full, vd, h, w, 3, h - 4, 3, w - 4, strict_alias)
+    qd = _halfgrid_plane(qd_full, hd, h, w, 3, h - 4, 3, w - 4, strict_alias)
 
     # ---- step 4.2: P/Q local discrimination (rcd.cu:166-182) ----
     # Slot arithmetic resolves to column-parity-dependent gathers:
