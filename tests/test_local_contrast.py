@@ -60,3 +60,17 @@ def test_laplacian_clarity_changes_output(rng):
 def test_num_levels():
     assert laplacian.num_levels_for(4096, 3000) == 11
     assert laplacian.num_levels_for(64, 64) == 6
+
+
+def test_bilateral_fast_path_matches_gather_path(rng):
+    # the strided (integer sigma) fast path and the general windowed-gather
+    # path must agree to float rounding on identical inputs
+    from tpu_darktable.ops import bilateral as B
+
+    lum = rng.random((64, 96)).astype(np.float32)
+    for sigma_s in (2.0, 8.0):
+        out_fast = np.asarray(B.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4))
+        out_gen = np.asarray(
+            B.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4, _force_general=True)
+        )
+        np.testing.assert_allclose(out_fast, out_gen, atol=1e-5)

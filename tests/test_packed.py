@@ -85,3 +85,12 @@ def test_native_host_decoder_matches(rng):
         host = decode12_u16_host(enc, ids_format=ids)
         dev = np.asarray(packed.decode12_u16(jnp.asarray(enc), ids_format=ids))
         np.testing.assert_array_equal(host, dev)
+
+
+def test_decode_trailing_axis_2d(rng):
+    # trailing-axis decode on a 2-D byte layout must equal the flat decode
+    vals = rng.integers(0, 4096, size=4096).astype(np.uint16)
+    enc = packed.encode12_u16(jnp.asarray(vals), ids_format=False)
+    flat = np.asarray(packed.decode12_u16(enc, ids_format=False))
+    two_d = np.asarray(packed.decode12_u16(enc.reshape(16, -1), ids_format=False))
+    np.testing.assert_array_equal(two_d.reshape(-1), flat)

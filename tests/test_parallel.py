@@ -58,9 +58,11 @@ def test_batch_sharded_pipeline_matches_single_device(rng):
     sh_bytes = shard_batch(jnp.asarray(byte_batch), mesh)
     out, b, m = sharded_fn(sh_bytes, wb, b0, m0, alpha)
 
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    # cross-shard reductions reassociate the metric sums; the EMA'd metrics
+    # feed the tonemap, so isolated pixels may round to the neighboring uint8
+    diff = np.abs(np.asarray(out).astype(int) - np.asarray(ref_out).astype(int))
+    assert diff.max() <= 1, diff.max()
     np.testing.assert_allclose(np.asarray(b), np.asarray(ref_b), atol=1e-6)
-    # metric reductions change association order across shards: tiny fp drift
     np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=1e-5, atol=1e-6)
 
 

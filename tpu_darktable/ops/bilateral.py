@@ -108,7 +108,8 @@ def _blur5(grid, axis: int, weights):
     return out
 
 
-def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float):
+def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
+                      _force_general: bool = False):
     """Detail boost on an (H, W) luminance plane (BilateralImpl::process,
     bilateral.cu:358-385).
 
@@ -118,22 +119,53 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float):
     h, w = lum.shape
     gx, gy, gz = compute_grid_size(w, h, sigma_s, sigma_r)
 
-    idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
-    idx_y, wgt_y = _axis_splat_operator(h, gy, sigma_s)
-    jidx_x, jwgt_x = jnp.asarray(idx_x), jnp.asarray(wgt_x)
-    jidx_y, jwgt_y = jnp.asarray(idx_y), jnp.asarray(wgt_y)
+    # Integer-sigma fast path: when sigma_s is an integer dividing the image
+    # (the shipped configs: sigma_s = 2 or 8 on even geometries) the splat
+    # windows are strided slices and the slice reads are repeats - no XLA
+    # gathers, which are slow on TPU.
+    s_int = int(sigma_s)
+    fast = (
+        not _force_general
+        and float(sigma_s) == s_int
+        and s_int >= 1
+        and w % s_int == 0
+        and h % s_int == 0
+        and gx == w // s_int + 1
+        and gy == h // s_int + 1
+    )
+
+    if not fast:
+        idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
+        idx_y, wgt_y = _axis_splat_operator(h, gy, sigma_s)
+        jidx_x, jwgt_x = jnp.asarray(idx_x), jnp.asarray(wgt_x)
+        jidx_y, jwgt_y = jnp.asarray(idx_y), jnp.asarray(wgt_y)
 
     # Per-pixel z coordinates (data dependent).
     g_z = jnp.clip(lum / sigma_r, 0.0, gz - 1)
 
     contrib = jnp.float32(1.0 / (sigma_s * sigma_s))
 
+    def _splat_axis_fast(img, axis, n_cells):
+        """Tent splat along `axis` via s_int strided slice-adds."""
+        img = jnp.moveaxis(img, axis, -1)
+        n = img.shape[-1]
+        out = jnp.zeros(img.shape[:-1] + (n_cells,), dtype=_F32)
+        for m in range(s_int):
+            sl = img[..., m::s_int]
+            k = sl.shape[-1]
+            f = m / s_int
+            out = out.at[..., :k].add(sl * (1.0 - f))
+            if f > 0.0:
+                out = out.at[..., 1 : k + 1].add(sl * f)
+        return jnp.moveaxis(out, -1, axis)
+
     def xy_splat(img):
         """Apply the separable spatial splat to an (H, W) map -> (gy, gx)."""
-        # x axis: (H, W) -> (H, gx)
+        if fast:
+            sx = _splat_axis_fast(img, 1, gx)
+            return _splat_axis_fast(sx, 0, gy)
         gathered = img[:, jidx_x.reshape(-1)].reshape(h, gx, -1)
         sx = jnp.sum(gathered * jwgt_x[None], axis=-1)
-        # y axis: (H, gx) -> (gy, gx)
         gathered = sx[jidx_y.reshape(-1), :].reshape(gy, -1, gx)
         return jnp.sum(gathered * jwgt_y[:, :, None], axis=1)
 
@@ -152,22 +184,37 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float):
     grid = _blur5(grid, 0, w_deriv)
 
     # Slice: trilinear read of the blurred-derivative grid (bilateral.cu:208-228).
-    ib_x, frac_x = _axis_slice_weights(w, gx, sigma_s)
-    ib_y, frac_y = _axis_slice_weights(h, gy, sigma_s)
-    jib_x, jfrac_x = jnp.asarray(ib_x), jnp.asarray(frac_x)
-    jib_y, jfrac_y = jnp.asarray(ib_y), jnp.asarray(frac_y)
-
     ib_z = jnp.minimum(g_z.astype(jnp.int32), gz - 2)
     frac_z = g_z - ib_z.astype(_F32)
 
-    def xy_slice(slab):
-        """Bilinear-sample a (gy, gx) slab at every pixel -> (H, W)."""
-        r0 = slab[jib_y, :]
-        r1 = slab[jib_y + 1, :]
-        ry = r0 * (1.0 - jfrac_y)[:, None] + r1 * jfrac_y[:, None]
-        c0 = ry[:, jib_x]
-        c1 = ry[:, jib_x + 1]
-        return c0 * (1.0 - jfrac_x)[None, :] + c1 * jfrac_x[None, :]
+    if fast:
+        frac_col = jnp.tile(
+            jnp.arange(s_int, dtype=_F32) / s_int, w // s_int
+        )
+        frac_row = jnp.tile(jnp.arange(s_int, dtype=_F32) / s_int, h // s_int)
+
+        def xy_slice(slab):
+            r0 = jnp.repeat(slab[:-1, :], s_int, axis=0)
+            r1 = jnp.repeat(slab[1:, :], s_int, axis=0)
+            ry = r0 * (1.0 - frac_row)[:, None] + r1 * frac_row[:, None]
+            c0 = jnp.repeat(ry[:, :-1], s_int, axis=1)
+            c1 = jnp.repeat(ry[:, 1:], s_int, axis=1)
+            return c0 * (1.0 - frac_col)[None, :] + c1 * frac_col[None, :]
+
+    else:
+        ib_x, frac_x = _axis_slice_weights(w, gx, sigma_s)
+        ib_y, frac_y = _axis_slice_weights(h, gy, sigma_s)
+        jib_x, jfrac_x = jnp.asarray(ib_x), jnp.asarray(frac_x)
+        jib_y, jfrac_y = jnp.asarray(ib_y), jnp.asarray(frac_y)
+
+        def xy_slice(slab):
+            """Bilinear-sample a (gy, gx) slab at every pixel -> (H, W)."""
+            r0 = slab[jib_y, :]
+            r1 = slab[jib_y + 1, :]
+            ry = r0 * (1.0 - jfrac_y)[:, None] + r1 * jfrac_y[:, None]
+            c0 = ry[:, jib_x]
+            c1 = ry[:, jib_x + 1]
+            return c0 * (1.0 - jfrac_x)[None, :] + c1 * jfrac_x[None, :]
 
     l_diff = jnp.zeros((h, w), dtype=_F32)
     for z in range(gz):

@@ -62,7 +62,10 @@ def _encode12_values(values_int32, ids_format: bool):
 def decode12_float(packed, ids_format: bool = False, scaled: bool = True):
     """uint8 packed -> float32 values, scaled by 1/4095 when `scaled`.
 
-    Mirrors csrc/packed.cu:87-108 / :207-236.
+    Mirrors csrc/packed.cu:87-108 / :207-236.  Operates on the trailing axis;
+    callers decoding images should reshape bytes to (..., H, 3*W/2) first so
+    the byte arithmetic runs on a wide minor dimension (TPU layout sweet
+    spot - about 2x faster than a flat decode at 12 MP).
     """
     p0, p1 = _decode12_pairs(packed, ids_format)
     out = _interleave_pairs(p0, p1).astype(jnp.float32)

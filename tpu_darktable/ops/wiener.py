@@ -92,65 +92,107 @@ def wiener_denoise(
 
     wf = _gaussian_window(k, fft_scale)
     wi = _gaussian_window(k, interp_scale)
-    w2f = np.outer(wf, wf)  # fft window (analysis)
-    w2i = np.outer(wi, wi)  # interp window (synthesis)
-    w2f_j = jnp.asarray(w2f)
-    w2i_j = jnp.asarray(w2i)
-
-    dft = jnp.asarray(_dft_matrix(k, inverse=False))
-    idft = jnp.asarray(_dft_matrix(k, inverse=True))
+    wf_j = jnp.asarray(wf)
+    wi_j = jnp.asarray(wi)
 
     acc = jnp.zeros((h_pad, w_pad, c), dtype=_F32)
-    mask = jnp.zeros((h_pad, w_pad), dtype=_F32)
+
+    # The overlap-add weight mask is input-independent and separable: the 2-D
+    # window is an outer product and tiles sit on a regular grid, so
+    # mask(y, x) = mrow(y) * mcol(x).  Computed in numpy at trace time.
+    wprod = wf * wi
+
+    def _mask_1d(n_pad, grid_n):
+        m = np.zeros(n_pad, dtype=np.float64)
+        for g in range(grid_n):
+            o = g * stride  # out position (g - ov)*stride + K
+            end = min(o + k, n_pad)
+            if end > o:
+                m[o:end] += wprod[: end - o]
+        return m.astype(np.float32)
+
+    mrow = jnp.asarray(_mask_1d(h_pad, grid_h))
+    mcol = jnp.asarray(_mask_1d(w_pad, grid_w))
 
     sig2 = (sigmas * sigmas)[None, None, None, None, :]
+    hp = jax.lax.Precision.HIGH
+    cr = jnp.asarray(np.real(_dft_matrix(k, inverse=False)))
+    ci = jnp.asarray(np.imag(_dft_matrix(k, inverse=False)))
+    dr = jnp.asarray(np.real(_dft_matrix(k, inverse=True)))
+    di = jnp.asarray(np.imag(_dft_matrix(k, inverse=True)))
+
+    def _mm1(m, t):  # contract tile-row axis (1)
+        return jnp.einsum('ij,ajbkc->aibkc', m, t, precision=hp)
+
+    def _mm3(m, t):  # contract tile-col axis (3)
+        return jnp.einsum('kl,ajblc->ajbkc', m, t, precision=hp)
+
+    # Reflect-pad once (asymmetric modes matching reflect_index) so every
+    # coset slab is a contiguous slice - XLA gathers are slow on TPU.  Small
+    # images (reflection wider than the image) fall back to index gathers.
+    pad_lo, pad_hi = k, 2 * k
+    fast = h > pad_hi and w > pad_hi
+    if fast:
+        xr = jnp.concatenate([x[1 : pad_lo + 1][::-1], x, x[::-1][:pad_hi]], axis=0)
+        xr = jnp.concatenate(
+            [xr[:, 1 : pad_lo + 1][:, ::-1], xr, xr[:, ::-1][:, :pad_hi]], axis=1
+        )
 
     for ry in range(ov):
         n_ty = -(-(grid_h - ry) // ov)  # tiles in this row-coset
         # tile g = ry + m*ov covers source rows (g - ov)*stride + [0, K)
         row0 = (ry - ov) * stride
-        rows = _reflect_index(row0 + np.arange(n_ty * k), h)
         out_r0 = row0 + k  # output offset in padded coords
         n_keep_r = min(n_ty * k, h_pad - out_r0)
         for rx in range(ov):
             n_tx = -(-(grid_w - rx) // ov)
             col0 = (rx - ov) * stride
-            cols = _reflect_index(col0 + np.arange(n_tx * k), w)
             out_c0 = col0 + k
             n_keep_c = min(n_tx * k, w_pad - out_c0)
 
-            slab = x[jnp.asarray(rows)][:, jnp.asarray(cols)]  # (n_ty*K, n_tx*K, C)
-            tiles = slab.reshape(n_ty, k, n_tx, k, c).transpose(0, 2, 1, 3, 4)
+            if fast:
+                slab = xr[
+                    pad_lo + row0 : pad_lo + row0 + n_ty * k,
+                    pad_lo + col0 : pad_lo + col0 + n_tx * k,
+                ]  # (n_ty*K, n_tx*K, C)
+            else:
+                rows = _reflect_index(row0 + np.arange(n_ty * k), h)
+                cols = _reflect_index(col0 + np.arange(n_tx * k), w)
+                slab = x[jnp.asarray(rows)][:, jnp.asarray(cols)]
+            # (n_ty, K, n_tx, K, C) - no physical transpose; the DFT einsums
+            # address the tile axes in place.
+            tiles = slab.reshape(n_ty, k, n_tx, k, c)
 
-            mean = jnp.mean(tiles, axis=(2, 3), keepdims=True)
-            v = (tiles - mean) * w2f_j[None, None, :, :, None]
+            mean = jnp.mean(tiles, axis=(1, 3), keepdims=True)
+            wf2 = wf_j[None, :, None, None, None] * wf_j[None, None, None, :, None]
+            v = (tiles - mean) * wf2
 
-            # 2-D DFT as two complex matmuls over the KxK tile axes.
-            # precision=HIGHEST keeps the MXU in float32 passes; the default
-            # bfloat16 rounding would blow the parity budget.
-            hp = jax.lax.Precision.HIGHEST
-            vc = v.astype(jnp.complex64)
-            spec = jnp.einsum('ij,abjkc->abikc', dft, vc, precision=hp)
-            spec = jnp.einsum('kj,abijc->abikc', dft, spec, precision=hp)
+            # 2-D DFT in explicit real arithmetic (12 real matmuls round
+            # trip); precision=HIGH keeps bf16 passes within the float32
+            # parity budget at ~half the cost of HIGHEST.
+            xr1 = _mm1(cr, v)
+            xi1 = _mm1(ci, v)
+            sr = _mm3(cr, xr1) - _mm3(ci, xi1)
+            si = _mm3(ci, xr1) + _mm3(cr, xi1)
 
-            power = spec.real**2 + spec.imag**2 + _EPS
+            power = sr * sr + si * si + _EPS
             gain = jnp.maximum(power - sig2, 0.0) / power
-            spec = spec * gain
+            sr = sr * gain
+            si = si * gain
 
-            out = jnp.einsum('ij,abjkc->abikc', idft, spec, precision=hp)
-            out = jnp.einsum('kj,abijc->abikc', idft, out, precision=hp).real.astype(_F32)
+            yr1 = _mm1(dr, sr) - _mm1(di, si)
+            yi1 = _mm1(di, sr) + _mm1(dr, si)
+            y = _mm3(dr, yr1) - _mm3(di, yi1)
 
-            recon = (out + mean * w2f_j[None, None, :, :, None]) * w2i_j[None, None, :, :, None]
-            recon = recon.transpose(0, 2, 1, 3, 4).reshape(n_ty * k, n_tx * k, c)
+            wi2 = wi_j[None, :, None, None, None] * wi_j[None, None, None, :, None]
+            recon = (y + mean * wf2) * wi2
+            recon = recon.reshape(n_ty * k, n_tx * k, c)
 
             acc = acc.at[out_r0 : out_r0 + n_keep_r, out_c0 : out_c0 + n_keep_c].add(
                 recon[:n_keep_r, :n_keep_c]
             )
-            tile_mask = jnp.tile((w2f_j * w2i_j), (n_ty, n_tx))
-            mask = mask.at[out_r0 : out_r0 + n_keep_r, out_c0 : out_c0 + n_keep_c].add(
-                tile_mask[:n_keep_r, :n_keep_c]
-            )
 
+    mask = mrow[:, None] * mcol[None, :]
     out = acc[k : k + h, k : k + w] / (mask[k : k + h, k : k + w, None] + _EPS)
     return out
 

@@ -121,8 +121,9 @@ def build_pipeline_fn(
         raise AssertionError(f'Invalid tone mapping: {settings.tone_mapping}')
 
     def fused(bytes_batch, wb_gains, bounds_in, metrics_in, alpha):
-        decoded = _packed.decode12_float(bytes_batch, ids_format=ids)
-        bayer = decoded.reshape(-1, height, width)
+        # decode row-shaped: wide minor dim keeps the byte unpack on the VPU
+        rows = bytes_batch.reshape(-1, height, (width * 3) // 2)
+        bayer = _packed.decode12_float(rows, ids_format=ids)
 
         if has_white_balance:
             bayer = _wb.apply_white_balance(bayer, wb_gains, bayer_pattern)
