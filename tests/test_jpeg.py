@@ -76,3 +76,52 @@ def test_wrapper_class():
     data = td.Jpeg().encode(img, quality=94, input_format=td.InputFormat.RGBI)
     decoded = np.asarray(Image.open(io.BytesIO(np.asarray(data).tobytes())).convert('RGB'))
     assert _psnr(img, decoded) > 35.0
+
+
+@pytest.mark.parametrize('subsampling', [0, 1, 2])
+def test_progressive_encode(subsampling):
+    img = _test_image()
+    data = jpeg_ops.encode_jpeg(img, quality=94, input_format=3,
+                                subsampling=subsampling, progressive=True)
+    mode = 'L' if subsampling == 2 else 'RGB'
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert(mode))
+    if subsampling == 2:
+        y = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        assert _psnr(y, decoded) > 35.0
+    else:
+        assert _psnr(img, decoded) > 35.0
+
+
+def test_progressive_smaller_than_baseline():
+    # optimized Huffman + progressive typically beats the fixed-table baseline
+    img = _test_image(160, 160)
+    base = jpeg_ops.encode_jpeg(img, quality=94, progressive=False)
+    prog = jpeg_ops.encode_jpeg(img, quality=94, progressive=True)
+    assert len(prog) < len(base) * 1.1
+
+
+def test_progressive_blank_image():
+    # all-zero AC bands exercise the EOB-run path end to end
+    img = np.full((64, 64, 3), 128, dtype=np.uint8)
+    data = jpeg_ops.encode_jpeg(img, quality=90, progressive=True)
+    decoded = np.asarray(Image.open(io.BytesIO(data.tobytes())).convert('RGB'))
+    assert _psnr(img, decoded) > 40.0
+
+
+def test_optimal_huffman_valid():
+    from tpu_darktable.ops.jpeg_progressive import build_optimal_huffman
+
+    rng = np.random.default_rng(3)
+    freqs = np.zeros(256, dtype=np.int64)
+    freqs[rng.integers(0, 256, 40)] = rng.integers(1, 10000, 40)
+    bits, vals, codes, lens = build_optimal_huffman(freqs)
+    assert sum(bits) == len(vals)
+    assert max(bits[i] and i + 1 for i in range(16)) <= 16
+    # prefix-free check
+    assigned = [(int(codes[v]), int(lens[v])) for v in vals]
+    for i, (c1, l1) in enumerate(assigned):
+        for c2, l2 in assigned[i + 1:]:
+            if l1 <= l2:
+                assert (c2 >> (l2 - l1)) != c1
+            else:
+                assert (c1 >> (l1 - l2)) != c2

@@ -14,8 +14,8 @@ from scratch (SURVEY.md section 7 hard-part #1):
 Bit-exactness with nvJPEG is neither achievable nor required; validation is
 decode-PSNR via Pillow, the same oracle the reference uses
 (scripts/test_jpeg.py:39-45).  quality -> table scaling follows libjpeg
-(and nvJPEG) semantics.  `progressive=True` currently falls back to baseline
-encoding (documented divergence; the bitstream is still valid JPEG).
+(and nvJPEG) semantics.  `progressive=True` encodes spectral-selection
+progressive scans with optimized Huffman tables (ops/jpeg_progressive.py).
 """
 
 from __future__ import annotations
@@ -339,6 +339,95 @@ def _u16(v):
     return bytes([(v >> 8) & 0xFF, v & 0xFF])
 
 
+def _dht_segment(bits, vals, tc, th) -> bytes:
+    payload = bytes(bits) + bytes(vals)
+    return b'\xff\xc4' + _u16(3 + len(payload)) + bytes([(tc << 4) | th]) + payload
+
+
+def _encode_progressive(comp_blocks, h, w, qy, qc, subsampling: int) -> np.ndarray:
+    """Progressive (spectral selection) bitstream with optimized Huffman:
+    one interleaved DC scan, then one full-band AC scan per component."""
+    from .jpeg_progressive import (
+        ac_scan_symbols,
+        build_optimal_huffman,
+        dc_scan_symbols,
+        encode_scan,
+    )
+
+    n_comp = len(comp_blocks)
+    out = bytearray()
+    out += b'\xff\xd8'
+    out += b'\xff\xe0' + _u16(16) + b'JFIF\x00\x01\x01\x00' + _u16(1) + _u16(1) + b'\x00\x00'
+
+    def _dqt(table, tid):
+        return b'\xff\xdb' + _u16(67) + bytes([tid]) + bytes(
+            int(table.reshape(-1)[_ZIGZAG[i]]) for i in range(64)
+        )
+
+    out += _dqt(qy, 0)
+    if n_comp == 3:
+        out += _dqt(qc, 1)
+
+    # SOF2 = progressive DCT
+    out += b'\xff\xc2' + _u16(8 + 3 * n_comp) + bytes([8]) + _u16(h) + _u16(w) + bytes([n_comp])
+    if n_comp == 1:
+        out += bytes([1, 0x11, 0])
+    else:
+        y_sampling = 0x21 if subsampling == 1 else 0x11
+        out += bytes([1, y_sampling, 0, 2, 0x11, 1, 3, 0x11, 1])
+
+    ranks = [
+        _component_ranks(cb.shape[0], comp, subsampling, n_comp)
+        for comp, cb in enumerate(comp_blocks)
+    ]
+
+    # ---- DC scan (interleaved, Ss=Se=0) ----
+    syms, extra, sizes, comps = dc_scan_symbols(comp_blocks, ranks)
+    tbl_of_comp = np.where(comps == 0, 0, 1)
+    dc_tables = {}
+    for tid in sorted(set(tbl_of_comp.tolist())):
+        freqs = np.bincount(syms[tbl_of_comp == tid], minlength=256)
+        dc_tables[tid] = build_optimal_huffman(freqs)
+        out += _dht_segment(dc_tables[tid][0], dc_tables[tid][1], 0, tid)
+
+    hcodes = np.zeros(len(syms), dtype=np.uint64)
+    hlens = np.zeros(len(syms), dtype=np.int64)
+    for tid, (_, _, codes, lens) in dc_tables.items():
+        sel = tbl_of_comp == tid
+        hcodes[sel] = codes[syms[sel]]
+        hlens[sel] = lens[syms[sel]]
+    merged = (hcodes << sizes.astype(np.uint64)) | extra.astype(np.uint64)
+    mlens = hlens + sizes
+    from ..native import pack_bits
+
+    body = pack_bits(merged.astype(np.uint32), mlens.astype(np.uint8))
+
+    out += b'\xff\xda' + _u16(6 + 2 * n_comp) + bytes([n_comp])
+    if n_comp == 1:
+        out += bytes([1, 0x00])
+    else:
+        out += bytes([1, 0x00, 2, 0x10, 3, 0x10])
+    out += bytes([0, 0, 0x00])  # Ss=0, Se=0, AhAl=0
+    out += bytes(body)
+
+    # ---- AC scans (non-interleaved, Ss=1, Se=63) ----
+    for comp, blocks in enumerate(comp_blocks):
+        th = 0 if comp == 0 else 1
+        s, e, el = ac_scan_symbols(blocks)
+        freqs = np.bincount(s, minlength=256)
+        if freqs.sum() == 0:
+            freqs[0x00] = 1  # degenerate empty scan still needs a table
+        bits, vals, codes, lens = build_optimal_huffman(freqs)
+        out += _dht_segment(bits, vals, 1, th)
+        body = encode_scan(s, e, el, codes, lens)
+        out += b'\xff\xda' + _u16(6 + 2) + bytes([1, comp + 1, (0 << 4) | th])
+        out += bytes([1, 63, 0x00])  # Ss=1, Se=63, AhAl=0
+        out += bytes(body)
+
+    out += b'\xff\xd9'
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
 def _build_headers(h, w, qy, qc, subsampling: int, n_comp: int) -> bytes:
     out = bytearray()
     out += b'\xff\xd8'  # SOI
@@ -398,7 +487,8 @@ def encode_jpeg(
         quality: 1-100 (libjpeg semantics).
         input_format: 0=BGR, 1=RGB, 2=BGRI, 3=RGBI (csrc/jpeg_encoder.h:6-11).
         subsampling: 0=444, 1=422, 2=GRAY (csrc/jpeg_encoder.h:13-17).
-        progressive: accepted for API parity; encoded as baseline.
+        progressive: spectral-selection progressive with optimized Huffman
+            (matching the reference's nvJPEG configuration).
 
     Returns:
         numpy uint8 bitstream.
@@ -426,6 +516,9 @@ def encode_jpeg(
     )
     comp_blocks = [np.asarray(cb) for cb in comp_blocks]
     n_comp = len(comp_blocks)
+
+    if progressive:
+        return _encode_progressive(comp_blocks, h, w, qy, qc, subsampling)
 
     all_codes, all_lens, all_rank, all_order = [], [], [], []
     for comp, blocks in enumerate(comp_blocks):
