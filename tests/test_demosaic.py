@@ -147,3 +147,25 @@ def test_sort9_network_matches_sort(rng):
     got = np.stack([np.asarray(v) for v in sort9(vals)])
     ref = np.sort(np.stack([np.asarray(v) for v in vals]), axis=0)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_dual_demosaic(rng):
+    from tpu_darktable.ops import rcd as rcd_mod
+
+    rgb = _smooth_rgb(96, 96)
+    # add a high-detail region
+    rgb[40:56, 40:56] = rng.random((16, 16, 3)).astype(np.float32)
+    mosaic = _mosaic(rgb, bayer.BayerPattern.RGGB)
+    out = np.asarray(rcd_mod.dual_demosaic(mosaic, bayer.BayerPattern.RGGB))
+    assert out.shape == (96, 96, 3)
+    assert np.isfinite(out).all()
+    # blend factor: sigmoid at the inflexion point
+    bf = float(rcd_mod.calc_blend_factor(jnp.float32(0.15), 0.15))
+    np.testing.assert_allclose(bf, 0.5, atol=1e-6)
+
+
+def test_scharr_mask_constant_is_zero():
+    from tpu_darktable.ops.rcd import calc_scharr_mask
+
+    m = np.asarray(calc_scharr_mask(jnp.full((16, 16), 0.5)))
+    np.testing.assert_allclose(m, 0.0, atol=1e-7)

@@ -74,3 +74,15 @@ def test_bilateral_fast_path_matches_gather_path(rng):
             B.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4, _force_general=True)
         )
         np.testing.assert_allclose(out_fast, out_gen, atol=1e-5)
+
+
+def test_bilateral_denoise_reduces_noise(rng):
+    from tpu_darktable.ops.bilateral import bilateral_denoise
+
+    clean = np.full((64, 64), 0.5, dtype=np.float32)
+    noisy = clean + rng.normal(0, 0.03, clean.shape).astype(np.float32)
+    out = np.asarray(bilateral_denoise(jnp.asarray(noisy), 4.0, 0.2, 1.0))
+    assert np.std(out) < 0.5 * np.std(noisy)
+    # amount=0 -> identity
+    out0 = np.asarray(bilateral_denoise(jnp.asarray(noisy), 4.0, 0.2, 0.0))
+    np.testing.assert_allclose(out0, noisy, atol=1e-6)

@@ -227,4 +227,68 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
     return jnp.maximum(0.0, lum + norm * l_diff)
 
 
-__all__ = ['bilateral_process', 'compute_grid_size']
+def bilateral_denoise(luminance, sigma_s: float, sigma_r: float, amount: float):
+    """Bilateral-grid denoise: weighted-average slice from num/den grids.
+
+    Rebuild of the reference's (unused but present) denoise variant
+    (splat_num_kernel bilateral.cu:115-128, slice_denoise_kernel :231-248)
+    with Gaussian blurs over all three grid axes.
+    """
+    lum = jnp.asarray(luminance, dtype=_F32)
+    h, w = lum.shape
+    gx, gy, gz = compute_grid_size(w, h, sigma_s, sigma_r)
+
+    idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
+    idx_y, wgt_y = _axis_splat_operator(h, gy, sigma_s)
+    jidx_x, jwgt_x = jnp.asarray(idx_x), jnp.asarray(wgt_x)
+    jidx_y, jwgt_y = jnp.asarray(idx_y), jnp.asarray(wgt_y)
+
+    g_z = jnp.clip(lum / sigma_r, 0.0, gz - 1)
+    contrib = jnp.float32(1.0 / (sigma_s * sigma_s))
+
+    def xy_splat(img):
+        gathered = img[:, jidx_x.reshape(-1)].reshape(h, gx, -1)
+        sx = jnp.sum(gathered * jwgt_x[None], axis=-1)
+        gathered = sx[jidx_y.reshape(-1), :].reshape(gy, -1, gx)
+        return jnp.sum(gathered * jwgt_y[:, :, None], axis=1)
+
+    num_slabs, den_slabs = [], []
+    for z in range(gz):
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(g_z - z)) * contrib
+        num_slabs.append(xy_splat(wz * lum))
+        den_slabs.append(xy_splat(wz))
+    grid_num = jnp.stack(num_slabs, axis=0)
+    grid_den = jnp.stack(den_slabs, axis=0)
+
+    w_gauss = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+    for axis in (2, 1, 0):
+        grid_num = _blur5(grid_num, axis, w_gauss)
+        grid_den = _blur5(grid_den, axis, w_gauss)
+
+    ib_x, frac_x = _axis_slice_weights(w, gx, sigma_s)
+    ib_y, frac_y = _axis_slice_weights(h, gy, sigma_s)
+    jib_x, jfrac_x = jnp.asarray(ib_x), jnp.asarray(frac_x)
+    jib_y, jfrac_y = jnp.asarray(ib_y), jnp.asarray(frac_y)
+    ib_z = jnp.minimum(g_z.astype(jnp.int32), gz - 2)
+    frac_z = g_z - ib_z.astype(_F32)
+
+    def xy_slice(slab):
+        r0 = slab[jib_y, :]
+        r1 = slab[jib_y + 1, :]
+        ry = r0 * (1.0 - jfrac_y)[:, None] + r1 * jfrac_y[:, None]
+        c0 = ry[:, jib_x]
+        c1 = ry[:, jib_x + 1]
+        return c0 * (1.0 - jfrac_x)[None, :] + c1 * jfrac_x[None, :]
+
+    num = jnp.zeros((h, w), dtype=_F32)
+    den = jnp.zeros((h, w), dtype=_F32)
+    for z in range(gz):
+        wz = jnp.where(ib_z == z, 1.0 - frac_z, jnp.where(ib_z + 1 == z, frac_z, 0.0))
+        num = num + wz * xy_slice(grid_num[z])
+        den = den + wz * xy_slice(grid_den[z])
+
+    denoised = jnp.where(den > 1e-8, num / jnp.where(den > 1e-8, den, 1.0), lum)
+    return (1.0 - amount) * lum + amount * denoised
+
+
+__all__ = ['bilateral_denoise', 'bilateral_process', 'compute_grid_size']

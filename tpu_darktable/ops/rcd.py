@@ -250,4 +250,89 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     return jnp.where(keep[..., None], rgb, out)
 
 
-__all__ = ['RCD_MARGIN', 'rcd_demosaic']
+# ---------------------------------------------------------------------------
+# Dual-demosaic blend utilities (rcd.cu:20-27, :496-561; present but unwired
+# in the reference).  dual_demosaic() additionally composes them into the
+# darktable dual-demosaic flow: blend a high-frequency demosaic (RCD) with a
+# smooth one (bilinear) by a detail mask.
+# ---------------------------------------------------------------------------
+
+def calc_blend_factor(value, threshold):
+    """Sigmoid blend factor, inflexion at (threshold, 0.5) (rcd.cu:20-27)."""
+    return 1.0 / (1.0 + jnp.exp(16.0 - (16.0 / threshold) * value))
+
+
+def calc_y0_mask(rgb, red: float, green: float, blue: float):
+    """Luminance-proxy mask sqrt(mean(channel/coeff)) (rcd.cu:517-530)."""
+    rgb = jnp.asarray(rgb, dtype=_F32)
+    val = (
+        jnp.maximum(rgb[..., 0] / red, 0.0)
+        + jnp.maximum(rgb[..., 1] / green, 0.0)
+        + jnp.maximum(rgb[..., 2] / blue, 0.0)
+    )
+    return jnp.sqrt(val / 3.0)
+
+
+def calc_scharr_mask(mask):
+    """Scharr gradient magnitude / 16, clipped (rcd.cu:532-548).
+
+    Edge pixels read from the row/col clamped one inside (incol/inrow)."""
+    import numpy as np
+
+    x = jnp.asarray(mask, dtype=_F32)
+    h, w = x.shape
+    s = Shifter(x, 1, mode='constant')
+    gx = (47.0 / 255.0) * (s(-1, -1) - s(-1, 1) + s(1, -1) - s(1, 1)) + (162.0 / 255.0) * (
+        s(0, -1) - s(0, 1)
+    )
+    gy = (47.0 / 255.0) * (s(-1, -1) - s(1, -1) + s(-1, 1) - s(1, 1)) + (162.0 / 255.0) * (
+        s(-1, 0) - s(1, 0)
+    )
+    grad = jnp.clip(jnp.hypot(gx, gy) / 16.0, 0.0, 1.0)
+    # edge pixels evaluate the stencil at the clamped interior position
+    ry = jnp.asarray(np.clip(np.arange(h), 1, h - 2))
+    cx = jnp.asarray(np.clip(np.arange(w), 1, w - 2))
+    return grad[ry][:, cx]
+
+
+def calc_detail_blend(mask, threshold: float, detail: bool):
+    """Blend map from a detail mask (rcd.cu:550-561)."""
+    blend = jnp.clip(calc_blend_factor(jnp.asarray(mask, dtype=_F32), threshold), 0.0, 1.0)
+    return blend if detail else 1.0 - blend
+
+
+def blend_dual(high, low, blend_mask, show_mask: bool = False):
+    """lerp(low, high, blend) per pixel (write_blended_dual_kernel,
+    rcd.cu:496-515)."""
+    high = jnp.asarray(high, dtype=_F32)
+    low = jnp.asarray(low, dtype=_F32)
+    b = jnp.asarray(blend_mask, dtype=_F32)[..., None]
+    out = jnp.maximum((1.0 - b) * low + b * high, 0.0)
+    if show_mask:
+        return jnp.concatenate([out, jnp.asarray(blend_mask)[..., None]], axis=-1)
+    return out
+
+
+def dual_demosaic(image, pattern: BayerPattern, threshold: float = 0.15,
+                  wb=(1.0, 1.0, 1.0)):
+    """Dual demosaic: RCD where detailed, bilinear where smooth."""
+    from .demosaic import bilinear5x5_demosaic
+
+    high = rcd_demosaic(image, pattern)
+    low = bilinear5x5_demosaic(image, pattern)
+    y0 = calc_y0_mask(high, *wb)
+    scharr = calc_scharr_mask(y0)
+    blend = calc_detail_blend(scharr, threshold, detail=True)
+    return blend_dual(high, low, blend)
+
+
+__all__ = [
+    'RCD_MARGIN',
+    'blend_dual',
+    'calc_blend_factor',
+    'calc_detail_blend',
+    'calc_scharr_mask',
+    'calc_y0_mask',
+    'dual_demosaic',
+    'rcd_demosaic',
+]
