@@ -47,3 +47,65 @@ def test_estimate_channel_noise(rng):
     assert sig.shape == (3,)
     # laplacian of iid noise has std sigma*sqrt(20); MAD estimate scales accordingly
     assert np.all(sig > 0.2) and np.all(sig < 0.8)
+
+
+def _wiener_numpy_reference(img, sigma, k, overlap):
+    """Direct numpy re-implementation of the reference CUDA semantics
+    (denoise.cu): per-tile mean subtract, windowed, np.fft 2-D, spectral
+    gain, overlap-add with reflect indexing.  Slow; small images only."""
+    h, w, c = img.shape
+    stride = k // overlap
+    ov = overlap
+    h_pad, w_pad = h + 2 * k, w + 2 * k
+    grid_h = (h + k + stride - 1) // stride + ov
+    grid_w = (w + k + stride - 1) // stride + ov
+
+    def gwin(weight):
+        half = k / 2.0
+        r = np.linspace(-half + 0.5, half - 0.5, k)
+        v = np.exp(-(r * r) / (weight * half * half))
+        return v / np.sqrt((v * v).sum())
+
+    wf = gwin(0.3)
+    wi = gwin(0.3)
+    w2f = np.outer(wf, wf)
+    w2i = np.outer(wi, wi)
+
+    def refl(i, lim):
+        i = -i if i < 0 else i
+        return min(2 * lim - i - 1, i) if i >= lim else i
+
+    acc = np.zeros((h_pad, w_pad, c))
+    mask = np.zeros((h_pad, w_pad))
+    for gy in range(grid_h):
+        for gx in range(grid_w):
+            r0 = (gy - ov) * stride
+            c0 = (gx - ov) * stride
+            tile = np.empty((k, k, c))
+            for i in range(k):
+                for j in range(k):
+                    tile[i, j] = img[refl(r0 + i, h), refl(c0 + j, w)]
+            mean = tile.mean(axis=(0, 1))
+            v = (tile - mean) * w2f[..., None]
+            for ch in range(c):
+                spec = np.fft.fft2(v[..., ch])
+                p = np.abs(spec) ** 2 + 1e-15
+                g = np.maximum(p - sigma * sigma, 0.0) / p
+                v[..., ch] = np.fft.ifft2(spec * g).real
+            recon = (v + mean * w2f[..., None]) * w2i[..., None]
+            for i in range(k):
+                oy, ox = r0 + i + k, c0 + k
+                if oy >= h_pad:
+                    continue
+                n = min(k, w_pad - ox)
+                acc[oy, ox:ox + n] += recon[i, :n]
+                mask[oy, ox:ox + n] += (w2f[i, :n] * w2i[i, :n])
+    return acc[k:k + h, k:k + w] / (mask[k:k + h, k:k + w, None] + 1e-15)
+
+
+def test_matches_numpy_fft_reference(rng):
+    img = rng.random((40, 44, 1)).astype(np.float32)
+    for k, ov in [(16, 2), (16, 4)]:
+        ref = _wiener_numpy_reference(img.astype(np.float64), 0.05, k, ov)
+        out = np.asarray(wiener.wiener_denoise(jnp.asarray(img), 0.05, k, ov))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
