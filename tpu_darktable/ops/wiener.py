@@ -206,14 +206,23 @@ def wiener_denoise(
             # back): ~5x the FLOPs of a separable DFT but 1/3 the HBM traffic,
             # the right trade on the MXU.  precision=HIGH keeps bf16 passes
             # within the float32 parity budget.
-            spec = jnp.einsum('ruv,aubvc->abcr', ana3, v, precision=hp)
-            a_part = spec[..., :n_rep]
-            b_part = spec[..., n_rep:]
-            power = a_part * a_part + b_part * b_part + _EPS
-            gain = jnp.maximum(power - sig2, 0.0) / power
-            spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
-
-            y = jnp.einsum('ruv,abcr->aubvc', syn3, spec, precision=hp)
+            if c == 1:
+                v1 = v[..., 0]
+                spec = jnp.einsum('ruv,aubv->abr', ana3, v1, precision=hp)
+                a_part = spec[..., :n_rep]
+                b_part = spec[..., n_rep:]
+                power = a_part * a_part + b_part * b_part + _EPS
+                gain = jnp.maximum(power - sig2[..., 0, :], 0.0) / power
+                spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
+                y = jnp.einsum('ruv,abr->aubv', syn3, spec, precision=hp)[..., None]
+            else:
+                spec = jnp.einsum('ruv,aubvc->abcr', ana3, v, precision=hp)
+                a_part = spec[..., :n_rep]
+                b_part = spec[..., n_rep:]
+                power = a_part * a_part + b_part * b_part + _EPS
+                gain = jnp.maximum(power - sig2, 0.0) / power
+                spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
+                y = jnp.einsum('ruv,abcr->aubvc', syn3, spec, precision=hp)
 
             wi2 = wi_j[None, :, None, None, None] * wi_j[None, None, None, :, None]
             recon = (y + mean * wf2) * wi2
