@@ -444,3 +444,215 @@ def green_eq_global_oracle(rgb, pattern):
                 px[1] *= ratio
             out[y, c] = np.maximum(px, 0.0)
     return out
+
+
+# --- bilateral grid (bilateral.cu) ------------------------------------------
+
+def bilateral_oracle(lum, sigma_s, sigma_r, detail):
+    """Literal BilateralImpl::process (bilateral.cu:358-385): trilinear
+    scatter splat, blur_line x/y, blur_line_z derivative, trilinear slice."""
+    import math
+
+    h, w = lum.shape
+    l_range = 1.0
+    ss = max(sigma_s, 0.5)
+    gx = min(max(round(w / ss), 4.0), 3000.0)
+    gy = min(max(round(h / ss), 4.0), 3000.0)
+    gz = min(max(round(l_range / sigma_r), 4.0), 50.0)
+    eff_s = max(h / gy, w / gx)
+    eff_r = l_range / gz
+    sx = int(math.ceil(w / eff_s)) + 1
+    sy = int(math.ceil(h / eff_s)) + 1
+    sz = int(math.ceil(l_range / eff_r)) + 1
+
+    def sample(px, py, L):
+        gxx = min(max(px / sigma_s, 0.0), sx - 1)
+        gyy = min(max(py / sigma_s, 0.0), sy - 1)
+        gzz = min(max(L / sigma_r, 0.0), sz - 1)
+        ib = (min(int(gxx), sx - 2), min(int(gyy), sy - 2), min(int(gzz), sz - 2))
+        fr = (gxx - ib[0], gyy - ib[1], gzz - ib[2])
+        return ib, fr
+
+    grid = np.zeros((sz, sy, sx))
+    contrib = 1.0 / (sigma_s * sigma_s)
+    for py in range(h):
+        for px in range(w):
+            (ix, iy, iz), (fx, fy, fz) = sample(px, py, lum[py, px])
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        wgt = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                               * (fz if dz else 1 - fz))
+                        grid[iz + dz, iy + dy, ix + dx] += contrib * wgt
+
+    def blur_line(buf, axis, weights):
+        """Truncated 5-tap correlation (blur_line, bilateral.cu:132-168)."""
+        out = np.zeros_like(buf)
+        n = buf.shape[axis]
+        for i in range(n):
+            acc = 0.0
+            for t, wgt in enumerate(weights):
+                j = i + t - 2
+                if 0 <= j < n:
+                    acc = acc + wgt * np.take(buf, j, axis=axis)
+            out_idx = [slice(None)] * 3
+            out_idx[axis] = i
+            out[tuple(out_idx)] = acc
+        return out
+
+    wg = [1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16]
+    wd = [-2 / 16, -4 / 16, 0.0, 4 / 16, 2 / 16]
+    grid = blur_line(grid, 2, wg)   # x
+    grid = blur_line(grid, 1, wg)   # y
+    grid = blur_line(grid, 0, wd)   # z derivative
+
+    out = np.zeros((h, w))
+    norm = -detail * sigma_r * 4.0
+    for py in range(h):
+        for px in range(w):
+            L = lum[py, px]
+            (ix, iy, iz), (fx, fy, fz) = sample(px, py, L)
+            acc = 0.0
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        wgt = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                               * (fz if dz else 1 - fz))
+                        acc += grid[iz + dz, iy + dy, ix + dx] * wgt
+            out[py, px] = max(0.0, L + norm * acc)
+    return out
+
+
+# --- local laplacian (laplacian.cu) ------------------------------------------
+
+def laplacian_oracle(mono, num_gamma=6, sigma=0.2, shadows=1.0, highlights=1.0,
+                     clarity=0.0):
+    """Literal LaplacianImpl::process (laplacian.cu:392-610) with fp16
+    storage between stages."""
+    import math
+
+    h, w = mono.shape
+    n_levels = min(30, int(math.floor(math.log2(min(w, h)))))
+    max_supp = 1 << (n_levels - 1)
+    bw, bh = w + 2 * max_supp, h + 2 * max_supp
+
+    def dl(x, l):
+        return (x + (1 << l) - 1) >> l
+
+    wk = [1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16]
+
+    def f16(a):
+        return a.astype(np.float16)
+
+    # pad_input_half: clamp-to-edge
+    padded0 = np.empty((bh, bw))
+    for y in range(bh):
+        for x in range(bw):
+            cy = min(max(y - max_supp, 0), h - 1)
+            cx = min(max(x - max_supp, 0), w - 1)
+            padded0[y, x] = mono[cy, cx]
+    padded0 = f16(padded0)
+
+    def gauss_reduce(fine, ch, cw):
+        out = np.empty((ch, cw))
+        ff = fine.astype(np.float64)
+        for py in range(ch):
+            cy = py
+            if py >= ch - 1:
+                cy = ch - 2
+            if cy <= 0:
+                cy = 1
+            for px in range(cw):
+                cx = px
+                if px >= cw - 1:
+                    cx = cw - 2
+                if cx <= 0:
+                    cx = 1
+                acc = 0.0
+                for j in range(-2, 3):
+                    for i in range(-2, 3):
+                        acc += ff[2 * cy + j, 2 * cx + i] * wk[i + 2] * wk[j + 2]
+                out[py, px] = acc
+        return f16(out)
+
+    def curve(x):
+        c = x - g_val
+        ssig = sigma if c > 0 else -sigma
+        shadhi = shadows if c > 0 else highlights
+        if abs(c) > 2 * sigma:
+            val = g_val + ssig + shadhi * (c - ssig)
+        else:
+            t = min(max(c / (2 * ssig), 0.0), 1.0)
+            val = g_val + ssig * 2 * (1 - t) * t + t * t * (ssig + ssig * shadhi)
+        return val + clarity * c * math.exp(-c * c / (2 * sigma * sigma / 3.0))
+
+    dims = [(dl(bh, l), dl(bw, l)) for l in range(n_levels)]
+    padded = [padded0]
+    for l in range(1, n_levels):
+        padded.append(gauss_reduce(padded[l - 1], *dims[l]))
+
+    processed = []
+    for k in range(num_gamma):
+        g_val = (k + 0.5) / num_gamma
+        base = padded0.astype(np.float64)
+        lvl0 = np.vectorize(curve)(base)
+        pyr = [f16(lvl0)]
+        for l in range(1, n_levels):
+            pyr.append(gauss_reduce(pyr[l - 1], *dims[l]))
+        processed.append(pyr)
+
+    def clampb(pos, size):
+        x, y = pos
+        sw, sh = size
+        if sw & 1:
+            if x > sw - 2:
+                x = sw - 2
+        elif x > sw - 3:
+            x = sw - 3
+        if sh & 1:
+            if y > sh - 2:
+                y = sh - 2
+        elif y > sh - 3:
+            y = sh - 3
+        if x <= 0:
+            x = 1
+        if y <= 0:
+            y = 1
+        return x, y
+
+    def expand(coarse, pos):
+        x, y = pos
+        cf = coarse.astype(np.float64)
+        cx, cy = x // 2, y // 2
+        x_odd, y_odd = x & 1, y & 1
+        i_r = (0, 1) if x_odd else (-1, 0, 1)
+        j_r = (0, 1) if y_odd else (-1, 0, 1)
+        acc = 0.0
+        for i in i_r:
+            for j in j_r:
+                wi = 2 * i + 1 if x_odd else 2 * i + 2
+                wj = 2 * j + 1 if y_odd else 2 * j + 2
+                acc += cf[cy + j, cx + i] * wk[wi] * wk[wj]
+        return 4.0 * acc
+
+    output = padded[n_levels - 1]
+    for l in range(n_levels - 2, -1, -1):
+        fh, fw = dims[l]
+        new_out = np.empty((fh, fw))
+        pad_l = padded[l].astype(np.float64)
+        for y in range(fh):
+            for x in range(fw):
+                cx, cy = clampb((x, y), (fw, fh))
+                val = expand(output, (cx, cy))
+                v = pad_l[y, x]
+                hi = 1
+                while hi < num_gamma - 1 and (hi + 0.5) / num_gamma <= v:
+                    hi += 1
+                lo = hi - 1
+                a = min(max(v * num_gamma - (lo + 0.5), 0.0), 1.0)
+                l0 = processed[lo][l].astype(np.float64)[y, x] - expand(processed[lo][l + 1], (cx, cy))
+                l1 = processed[hi][l].astype(np.float64)[y, x] - expand(processed[hi][l + 1], (cx, cy))
+                new_out[y, x] = val + l0 * (1 - a) + l1 * a
+        output = f16(new_out)
+
+    return output.astype(np.float64)[max_supp:max_supp + h, max_supp:max_supp + w]

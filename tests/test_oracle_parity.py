@@ -107,3 +107,24 @@ def test_green_eq_global_matches_oracle(rng, pattern):
     ref = oracles.green_eq_global_oracle(rgb.astype(np.float64), pattern)
     out = np.asarray(postprocess.green_eq_global(jnp.asarray(rgb), pattern))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize('sigma_s', [2.0, 3.5])
+def test_bilateral_matches_oracle(rng, sigma_s):
+    from tpu_darktable.ops import bilateral
+
+    lum = (rng.random((24, 28)) * 0.9).astype(np.float32)
+    ref = oracles.bilateral_oracle(lum.astype(np.float64), sigma_s, 0.2, 0.4)
+    out = np.asarray(bilateral.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_laplacian_matches_oracle(rng):
+    from tpu_darktable.ops import laplacian
+
+    lum = (rng.random((20, 24)) * 0.9 + 0.05).astype(np.float32)
+    params = laplacian.LaplacianParams(sigma=0.2, shadows=0.6, highlights=1.4, clarity=0.3)
+    ref = oracles.laplacian_oracle(lum.astype(np.float64), 6, 0.2, 0.6, 1.4, 0.3)
+    out = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), params))
+    # fp16 storage in both; small accumulation-order differences remain
+    np.testing.assert_allclose(out, ref, atol=2e-3)
