@@ -64,6 +64,17 @@ def get_lib():
             ctypes.c_longlong,
             ctypes.c_int,
         ]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.jpeg_encode_baseline.restype = ctypes.c_longlong
+        lib.jpeg_encode_baseline.argtypes = [
+            i16p, ctypes.c_longlong,
+            i16p, i16p, ctypes.c_longlong,
+            ctypes.c_int,
+            u32p, u8p, u32p, u8p, u32p, u8p, u32p, u8p,
+            u8p, ctypes.c_longlong,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -91,6 +102,53 @@ def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         if n >= 0:
             return out[:n]
     return _pack_bits_numpy(codes, lengths)
+
+
+def jpeg_encode_baseline_native(comp_blocks, subsampling: int, tables) -> np.ndarray | None:
+    """Single-pass C++ baseline entropy scan; None if the library is missing.
+
+    comp_blocks: list of (n, 64) int16 zigzag coefficient arrays (1 or 3).
+    tables: ((dc0c, dc0l, ac0c, ac0l), (dc1c, dc1l, ac1c, ac1l)).
+    """
+    import ctypes
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    yb = np.ascontiguousarray(comp_blocks[0], dtype=np.int16)
+    ny = yb.shape[0]
+    if len(comp_blocks) == 3:
+        cbb = np.ascontiguousarray(comp_blocks[1], dtype=np.int16)
+        crb = np.ascontiguousarray(comp_blocks[2], dtype=np.int16)
+        nc = cbb.shape[0]
+        cb_ptr = cbb.ctypes.data_as(i16p)
+        cr_ptr = crb.ctypes.data_as(i16p)
+    else:
+        nc = 0
+        cb_ptr = ctypes.cast(None, i16p)
+        cr_ptr = ctypes.cast(None, i16p)
+
+    (dc0c, dc0l, ac0c, ac0l), (dc1c, dc1l, ac1c, ac1l) = tables
+    args = []
+    for arr, typ in ((dc0c, u32p), (dc0l, u8p), (ac0c, u32p), (ac0l, u8p),
+                     (dc1c, u32p), (dc1l, u8p), (ac1c, u32p), (ac1l, u8p)):
+        a = np.ascontiguousarray(arr, dtype=np.uint32 if typ is u32p else np.uint8)
+        args.append((a, a.ctypes.data_as(typ)))  # keep refs alive
+
+    cap = int((ny + 2 * nc) * 64 * 4 + 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.jpeg_encode_baseline(
+        yb.ctypes.data_as(i16p), ny, cb_ptr, cr_ptr, nc, subsampling,
+        *(p for _, p in args),
+        out.ctypes.data_as(u8p), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n]
 
 
 def _pack_bits_numpy(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:

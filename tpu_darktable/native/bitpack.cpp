@@ -70,3 +70,127 @@ void decode12_u16_host(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Baseline JPEG entropy encoder: walks MCUs, Huffman-codes DC diffs and AC
+// run-lengths, packs bits with 0xFF stuffing.  The DCT/quantization happens
+// on the TPU; this is the serial tail (the role nvJPEG's entropy stage plays
+// in the reference).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitWriter {
+    uint8_t* out;
+    long long cap;
+    long long written = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool overflow = false;
+
+    inline void put(uint32_t code, int len) {
+        acc = (acc << len) | (uint64_t)(code & ((len >= 32) ? 0xFFFFFFFFu : ((1u << len) - 1u)));
+        nbits += len;
+        while (nbits >= 8) {
+            uint8_t byte = (uint8_t)(acc >> (nbits - 8));
+            nbits -= 8;
+            if (written + 2 > cap) { overflow = true; return; }
+            out[written++] = byte;
+            if (byte == 0xFF) out[written++] = 0x00;
+        }
+    }
+
+    inline void finish() {
+        if (nbits > 0) {
+            uint8_t byte = (uint8_t)((acc << (8 - nbits)) | ((1u << (8 - nbits)) - 1u));
+            if (written + 2 > cap) { overflow = true; return; }
+            out[written++] = byte;
+            if (byte == 0xFF) out[written++] = 0x00;
+        }
+    }
+};
+
+inline int bit_size(int v) {
+    int a = v < 0 ? -v : v;
+    int n = 0;
+    while (a) { ++n; a >>= 1; }
+    return n;
+}
+
+inline void encode_block(
+    BitWriter& bw,
+    const int16_t* blk,       // 64 zigzag coefficients
+    int& prev_dc,
+    const uint32_t* dc_codes, const uint8_t* dc_lens,
+    const uint32_t* ac_codes, const uint8_t* ac_lens)
+{
+    int diff = (int)blk[0] - prev_dc;
+    prev_dc = (int)blk[0];
+    int size = bit_size(diff);
+    bw.put(dc_codes[size], dc_lens[size]);
+    if (size) {
+        int bits = diff >= 0 ? diff : diff - 1;
+        bw.put((uint32_t)bits & ((1u << size) - 1u), size);
+    }
+
+    int run = 0;
+    for (int i = 1; i < 64; ++i) {
+        int v = blk[i];
+        if (v == 0) { ++run; continue; }
+        while (run >= 16) {
+            bw.put(ac_codes[0xF0], ac_lens[0xF0]);  // ZRL
+            run -= 16;
+        }
+        int s = bit_size(v);
+        int sym = (run << 4) | s;
+        bw.put(ac_codes[sym], ac_lens[sym]);
+        int bits = v >= 0 ? v : v - 1;
+        bw.put((uint32_t)bits & ((1u << s) - 1u), s);
+        run = 0;
+    }
+    if (run > 0) bw.put(ac_codes[0x00], ac_lens[0x00]);  // EOB
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode the interleaved baseline scan.  subsampling: 0=444, 1=422, 2=GRAY.
+// y/cb/cr: (n_*, 64) int16 zigzag blocks (cb/cr null for GRAY).
+// Tables: 256-entry (code, len) arrays for DC/AC luma + chroma.
+// Returns bytes written or -1 on overflow.
+long long jpeg_encode_baseline(
+    const int16_t* yb, long long ny,
+    const int16_t* cbb, const int16_t* crb, long long nc,
+    int subsampling,
+    const uint32_t* dc0c, const uint8_t* dc0l,
+    const uint32_t* ac0c, const uint8_t* ac0l,
+    const uint32_t* dc1c, const uint8_t* dc1l,
+    const uint32_t* ac1c, const uint8_t* ac1l,
+    uint8_t* out, long long cap)
+{
+    BitWriter bw{out, cap};
+    int pdc_y = 0, pdc_cb = 0, pdc_cr = 0;
+
+    if (cbb == nullptr) {  // GRAY
+        for (long long m = 0; m < ny; ++m)
+            encode_block(bw, yb + m * 64, pdc_y, dc0c, dc0l, ac0c, ac0l);
+    } else if (subsampling == 1) {  // 422: [Y0 Y1 Cb Cr] per MCU
+        for (long long m = 0; m < nc; ++m) {
+            encode_block(bw, yb + (2 * m) * 64, pdc_y, dc0c, dc0l, ac0c, ac0l);
+            encode_block(bw, yb + (2 * m + 1) * 64, pdc_y, dc0c, dc0l, ac0c, ac0l);
+            encode_block(bw, cbb + m * 64, pdc_cb, dc1c, dc1l, ac1c, ac1l);
+            encode_block(bw, crb + m * 64, pdc_cr, dc1c, dc1l, ac1c, ac1l);
+        }
+    } else {  // 444
+        for (long long m = 0; m < ny; ++m) {
+            encode_block(bw, yb + m * 64, pdc_y, dc0c, dc0l, ac0c, ac0l);
+            encode_block(bw, cbb + m * 64, pdc_cb, dc1c, dc1l, ac1c, ac1l);
+            encode_block(bw, crb + m * 64, pdc_cr, dc1c, dc1l, ac1c, ac1l);
+        }
+    }
+    bw.finish();
+    return bw.overflow ? -1 : bw.written;
+}
+
+}  // extern "C"

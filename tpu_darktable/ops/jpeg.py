@@ -520,6 +520,24 @@ def encode_jpeg(
     if progressive:
         return _encode_progressive(comp_blocks, h, w, qy, qc, subsampling)
 
+    # Fast path: single-pass C++ entropy scan (the nvJPEG-entropy analog).
+    from ..native import jpeg_encode_baseline_native
+
+    tables = (
+        (_HUFF[('dc', 0)][0], _HUFF[('dc', 0)][1], _HUFF[('ac', 0)][0], _HUFF[('ac', 0)][1]),
+        (_HUFF[('dc', 1)][0], _HUFF[('dc', 1)][1], _HUFF[('ac', 1)][0], _HUFF[('ac', 1)][1]),
+    )
+    body_native = jpeg_encode_baseline_native(
+        [cb.astype(np.int16) for cb in comp_blocks], subsampling, tables
+    )
+    if body_native is not None:
+        header = _build_headers(h, w, qy, qc, subsampling, n_comp)
+        return np.concatenate([
+            np.frombuffer(header, dtype=np.uint8),
+            body_native,
+            np.frombuffer(b'\xff\xd9', dtype=np.uint8),
+        ])
+
     all_codes, all_lens, all_rank, all_order = [], [], [], []
     for comp, blocks in enumerate(comp_blocks):
         table_id = 0 if comp == 0 else 1
