@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from ._jit import jit_with_static
 from .ops import color as _color
+from .ops.nlm import nlm_denoise, wavelet_denoise
 from .ops.wiener import estimate_channel_noise as _estimate_channel_noise
 from .ops.wiener import wiener_denoise as _wiener_denoise
 
@@ -100,4 +101,5 @@ def create_wiener(device=None, image_size=None, *, overlap: int = 4, tile_size: 
 
 estimate_channel_noise = _estimate_channel_noise
 
-__all__ = ['Wiener', 'check_overlap_factor', 'create_wiener', 'estimate_channel_noise']
+__all__ = ['Wiener', 'check_overlap_factor', 'create_wiener', 'estimate_channel_noise',
+           'nlm_denoise', 'wavelet_denoise']

@@ -1,0 +1,138 @@
+"""Additional denoisers: a-trous wavelet shrinkage and non-local means.
+
+BASELINE.json's benchmark configs name "wavelet + non-local-means denoise";
+the reference only ships the Wiener filter, so these are new TPU-native
+capabilities rather than ports:
+
+- wavelet_denoise: undecimated (a-trous) B3-spline wavelet decomposition
+  with per-scale soft thresholding - darktable's "denoise (wavelets)"
+  family.  Separable 5-tap dilated convolutions, fully XLA-fusible.
+- nlm_denoise: non-local means restructured for SIMD hardware: instead of
+  per-pixel patch searches, iterate over the (2r+1)^2 search offsets; each
+  offset contributes a shifted image weighted by a box-filtered patch
+  distance.  Pure shifts + separable box sums - no gathers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+# B3-spline scaling kernel (the classic a-trous choice)
+_B3 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def _atrous_blur(x, step: int):
+    """Separable 5-tap B3 blur with taps dilated by `step` (edge padding)."""
+    pad = 2 * step
+    p = jnp.pad(x, ((pad, pad), (0, 0)) + ((0, 0),) * (x.ndim - 2), mode='edge')
+    h = x.shape[0]
+    out = 0.0
+    for t in range(5):
+        out = out + _B3[t] * p[t * step : t * step + h]
+    p = jnp.pad(out, ((0, 0), (pad, pad)) + ((0, 0),) * (x.ndim - 2), mode='edge')
+    w = x.shape[1]
+    out = 0.0
+    for t in range(5):
+        out = out + _B3[t] * p[:, t * step : t * step + w]
+    return out
+
+
+def wavelet_denoise(image, sigma, levels: int = 4, threshold_scale: float = 3.0):
+    """A-trous wavelet soft-threshold denoise.
+
+    Args:
+        image: (H, W) or (H, W, C) float32.
+        sigma: noise sigma (scalar or per-channel (C,)).
+        levels: decomposition depth.
+        threshold_scale: threshold = scale * sigma * 2^-level (finer scales
+            get stronger shrinkage, matching the noise spectrum of white
+            noise under the a-trous transform).
+
+    Returns:
+        Denoised image, same shape.
+    """
+    x = jnp.asarray(image, dtype=_F32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    sig = jnp.broadcast_to(jnp.asarray(sigma, dtype=_F32).reshape(-1), (x.shape[-1],))
+
+    current = x
+    residual = 0.0
+    for lvl in range(levels):
+        smooth = _atrous_blur(current, 1 << lvl)
+        detail = current - smooth
+        thr = threshold_scale * sig * (0.5 ** lvl)
+        detail = jnp.sign(detail) * jnp.maximum(jnp.abs(detail) - thr, 0.0)
+        residual = residual + detail
+        current = smooth
+    out = current + residual
+    return out[..., 0] if squeeze else out
+
+
+def _box_filter(x, radius: int):
+    """(2r+1)^2 box sum via separable shifts, zero padding."""
+    n = 2 * radius + 1
+    p = jnp.pad(x, ((radius, radius), (0, 0)) + ((0, 0),) * (x.ndim - 2))
+    h = x.shape[0]
+    out = 0.0
+    for t in range(n):
+        out = out + p[t : t + h]
+    p = jnp.pad(out, ((0, 0), (radius, radius)) + ((0, 0),) * (x.ndim - 2))
+    w = x.shape[1]
+    out = 0.0
+    for t in range(n):
+        out = out + p[:, t : t + w]
+    return out
+
+
+def nlm_denoise(
+    image,
+    strength: float,
+    search_radius: int = 3,
+    patch_radius: int = 1,
+):
+    """Non-local means over a (2*search_radius+1)^2 window.
+
+    Offset-major formulation: weight(p, o) = exp(-D(p, o) / h^2) with D the
+    box-filtered squared difference between the image and its shift by o.
+
+    Args:
+        image: (H, W) or (H, W, C) float32.
+        strength: filtering strength h (typical: the noise sigma).
+        search_radius: half-width of the search window.
+        patch_radius: half-width of the comparison patch.
+
+    Returns:
+        Denoised image, same shape.
+    """
+    x = jnp.asarray(image, dtype=_F32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    h_img, w_img = x.shape[:2]
+
+    n_patch = (2 * patch_radius + 1) ** 2
+    inv_h2 = 1.0 / (strength * strength * n_patch * x.shape[-1])
+
+    pad = search_radius
+    xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode='edge')
+
+    acc = jnp.zeros_like(x)
+    wsum = jnp.zeros(x.shape[:2] + (1,), dtype=_F32)
+    for dy in range(-search_radius, search_radius + 1):
+        for dx in range(-search_radius, search_radius + 1):
+            shifted = xp[pad + dy : pad + dy + h_img, pad + dx : pad + dx + w_img]
+            d2 = jnp.sum((x - shifted) ** 2, axis=-1, keepdims=True)
+            dist = _box_filter(d2, patch_radius)
+            w = jnp.exp(-dist * inv_h2)
+            acc = acc + w * shifted
+            wsum = wsum + w
+    out = acc / wsum
+    return out[..., 0] if squeeze else out
+
+
+__all__ = ['nlm_denoise', 'wavelet_denoise']

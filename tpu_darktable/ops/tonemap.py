@@ -188,6 +188,30 @@ def adaptive_aces_tonemap(image, metrics, params: TonemapParameters):
     return aces_tonemap(image, params, metrics)
 
 
+def _filmic_curve(x):
+    """Hable (Uncharted 2) filmic operator, white-point normalized."""
+    a, b, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+
+    def hable(v):
+        return ((v * (a * v + c * b) + d * e) / (v * (a * v + b) + d * f)) - e / f
+
+    white = 11.2
+    return hable(x) / hable(jnp.float32(white))
+
+
+def filmic_tonemap(image, params: TonemapParameters, metrics=None):
+    """Filmic tonemap (Hable curve): plain with exposure = 2^intensity, or
+    adaptive when metrics are given.  A new capability beyond the reference
+    (BASELINE.json config 4 names Reinhard/filmic/ACES curves)."""
+    rgb = jnp.asarray(image, dtype=jnp.float32)
+    if metrics is None:
+        tonemapped = _filmic_curve(rgb * jnp.power(jnp.float32(2.0), jnp.float32(params.intensity)))
+    else:
+        adjustment = _compute_adaptation(metrics, rgb, params.light_adapt, params.intensity)
+        tonemapped = _filmic_curve(rgb / adjustment)
+    return _finish(tonemapped, params.gamma, params.vibrance)
+
+
 def metrics_to_dict(metrics):
     """5-element metrics -> named dict (reference tonemap.py:41-52)."""
     m = np.asarray(metrics)
@@ -230,6 +254,7 @@ __all__ = [
     'aces_tonemap',
     'adaptive_aces_tonemap',
     'compute_image_bounds',
+    'filmic_tonemap',
     'compute_image_metrics',
     'linear_tonemap',
     'metrics_from_dict',

@@ -120,6 +120,7 @@ class ToneMapper(Enum):
     reinhard = 1
     aces = 2
     adaptive_aces = 3
+    filmic = 4  # new capability (BASELINE.json config 4); not in the reference
 
 
 class Debayer(Enum):

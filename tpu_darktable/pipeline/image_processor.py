@@ -118,6 +118,8 @@ def build_pipeline_fn(
                 return _tonemap.aces_tonemap(rgb, params)
             case ToneMapper.adaptive_aces:
                 return _tonemap.aces_tonemap(rgb, params, metrics)
+            case ToneMapper.filmic:
+                return _tonemap.filmic_tonemap(rgb, params, metrics)
         raise AssertionError(f'Invalid tone mapping: {settings.tone_mapping}')
 
     def fused(bytes_batch, wb_gains, bounds_in, metrics_in, alpha):
@@ -364,6 +366,8 @@ class ImageProcessor:
                 return _tonemap.aces_tonemap(rgb_raw, params)
             case ToneMapper.adaptive_aces:
                 return _tonemap.aces_tonemap(rgb_raw, params, metrics)
+            case ToneMapper.filmic:
+                return _tonemap.filmic_tonemap(rgb_raw, params, metrics)
 
     def transform(self, image, image_name: str):
         if isinstance(self.transforms, dict):

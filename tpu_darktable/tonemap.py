@@ -2,6 +2,7 @@
 
 from .ops.tonemap import (
     TonemapParameters,
+    filmic_tonemap,
     aces_tonemap,
     adaptive_aces_tonemap,
     compute_image_bounds,
@@ -15,6 +16,7 @@ from .ops.tonemap import (
 
 __all__ = [
     'TonemapParameters',
+    'filmic_tonemap',
     'aces_tonemap',
     'adaptive_aces_tonemap',
     'compute_image_bounds',
