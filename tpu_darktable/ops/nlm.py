@@ -109,28 +109,41 @@ def nlm_denoise(
     Returns:
         Denoised image, same shape.
     """
+    import jax
+
     x = jnp.asarray(image, dtype=_F32)
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
-    h_img, w_img = x.shape[:2]
+    h_img, w_img, cdim = x.shape
 
     n_patch = (2 * patch_radius + 1) ** 2
-    inv_h2 = 1.0 / (strength * strength * n_patch * x.shape[-1])
+    inv_h2 = 1.0 / (strength * strength * n_patch * cdim)
 
     pad = search_radius
     xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode='edge')
 
-    acc = jnp.zeros_like(x)
-    wsum = jnp.zeros(x.shape[:2] + (1,), dtype=_F32)
-    for dy in range(-search_radius, search_radius + 1):
-        for dx in range(-search_radius, search_radius + 1):
-            shifted = xp[pad + dy : pad + dy + h_img, pad + dx : pad + dx + w_img]
-            d2 = jnp.sum((x - shifted) ** 2, axis=-1, keepdims=True)
-            dist = _box_filter(d2, patch_radius)
-            w = jnp.exp(-dist * inv_h2)
-            acc = acc + w * shifted
-            wsum = wsum + w
+    n = 2 * search_radius + 1
+    offs = jnp.asarray(
+        np.array([(dy, dx) for dy in range(n) for dx in range(n)], dtype=np.int32)
+    )
+
+    # fori_loop keeps memory constant over the (2r+1)^2 offsets (an unrolled
+    # loop holds every shifted temp live and OOMs at 12MP batch sizes).
+    def body(i, carry):
+        acc, wsum = carry
+        shifted = jax.lax.dynamic_slice(
+            xp, (offs[i, 0], offs[i, 1], jnp.int32(0)), (h_img, w_img, cdim)
+        )
+        d2 = jnp.sum((x - shifted) ** 2, axis=-1, keepdims=True)
+        dist = _box_filter(d2, patch_radius)
+        w = jnp.exp(-dist * inv_h2)
+        return acc + w * shifted, wsum + w
+
+    acc, wsum = jax.lax.fori_loop(
+        0, n * n, body,
+        (jnp.zeros_like(x), jnp.zeros((h_img, w_img, 1), dtype=_F32)),
+    )
     out = acc / wsum
     return out[..., 0] if squeeze else out
 
