@@ -175,7 +175,9 @@ def _plane_to_quantized_blocks(plane, qtable):
     blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
     d = jnp.asarray(_dct_matrix())
     f = jnp.einsum('ux,abxy,vy->abuv', d, blocks, d, precision=jax.lax.Precision.HIGHEST)
-    q = jnp.round(f / qtable[None, None]).astype(jnp.int32)
+    # int16 halves the device->host transfer; quantized magnitudes are
+    # bounded by 1024 (|DCT| <= 8*128, qtable >= 1) so it cannot overflow.
+    q = jnp.round(f / qtable[None, None]).astype(jnp.int16)
     flat = q.reshape(-1, 64)
     return flat[:, jnp.asarray(_ZIGZAG)]
 
@@ -527,9 +529,7 @@ def encode_jpeg(
         (_HUFF[('dc', 0)][0], _HUFF[('dc', 0)][1], _HUFF[('ac', 0)][0], _HUFF[('ac', 0)][1]),
         (_HUFF[('dc', 1)][0], _HUFF[('dc', 1)][1], _HUFF[('ac', 1)][0], _HUFF[('ac', 1)][1]),
     )
-    body_native = jpeg_encode_baseline_native(
-        [cb.astype(np.int16) for cb in comp_blocks], subsampling, tables
-    )
+    body_native = jpeg_encode_baseline_native(comp_blocks, subsampling, tables)
     if body_native is not None:
         header = _build_headers(h, w, qy, qc, subsampling, n_comp)
         return np.concatenate([
