@@ -89,3 +89,35 @@ def test_spatial_small_frame_falls_back(rng):
     out = spatial_shard_map_demosaic(mosaic, mesh, td.BayerPattern.RGGB, algorithm='bilinear')
     ref = demosaic.bilinear5x5_demosaic(mosaic, td.BayerPattern.RGGB)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_full_pipeline_matches_unsharded(rng):
+    """The row-band-sharded FULL pipeline == the unsharded fused program
+    (strict_alias off), with collective reassociation allowed +-1 uint8."""
+    from tpu_darktable.parallel.spatial_pipeline import build_spatial_pipeline_fn
+
+    h, w = 256, 96
+    mosaic = (rng.random((h, w)) * 0.8).astype(np.float32)
+    data = jnp.asarray(np.asarray(packed.encode12_float(jnp.asarray(mosaic.reshape(-1)))))
+
+    settings = _settings()  # rcd + postprocess + denoise + bilateral + reinhard
+    wb = jnp.asarray([1.2, 1.0, 1.1])
+    b0 = jnp.zeros(2, jnp.float32)
+    m0 = jnp.zeros(5, jnp.float32)
+    alpha = jnp.float32(1.0)
+
+    ref_fn = jax.jit(build_pipeline_fn(settings, (w, h), td.BayerPattern.RGGB,
+                                       td.PackedFormat.Packed12, True,
+                                       rcd_strict_alias=False))
+    ref_out, ref_b, ref_m = ref_fn(data[None], wb, b0, m0, alpha)
+
+    mesh = make_mesh()
+    sp_fn = jax.jit(build_spatial_pipeline_fn(
+        settings, (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        True, mesh, halo=64))
+    out, b, m = sp_fn(data, wb, b0, m0, alpha)
+
+    np.testing.assert_allclose(np.asarray(b), np.asarray(ref_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=1e-5, atol=1e-6)
+    diff = np.abs(np.asarray(out).astype(int) - np.asarray(ref_out[0]).astype(int))
+    assert diff.max() <= 1, (diff.max(), (diff > 1).sum())

@@ -9,5 +9,7 @@ without any hand-written communication code.
 
 from .mesh import make_mesh, shard_batch, sharded_pipeline
 from .spatial import spatial_shard_map_demosaic
+from .spatial_pipeline import build_spatial_pipeline_fn
 
-__all__ = ['make_mesh', 'shard_batch', 'sharded_pipeline', 'spatial_shard_map_demosaic']
+__all__ = ['build_spatial_pipeline_fn', 'make_mesh', 'shard_batch', 'sharded_pipeline',
+           'spatial_shard_map_demosaic']

@@ -59,6 +59,7 @@ def build_pipeline_fn(
     bayer_pattern: BayerPattern,
     packed_format: PackedFormat,
     has_white_balance: bool,
+    rcd_strict_alias: bool = True,
 ):
     """Build the fused batched pipeline as a jittable pure function.
 
@@ -73,7 +74,7 @@ def build_pipeline_fn(
         if settings.debayer == Debayer.bilinear:
             return _demosaic.bilinear5x5_demosaic(bayer, bayer_pattern)
         if settings.debayer == Debayer.rcd:
-            return _rcd.rcd_demosaic(bayer, bayer_pattern)
+            return _rcd.rcd_demosaic(bayer, bayer_pattern, strict_alias=rcd_strict_alias)
         if settings.debayer == Debayer.ppg:
             return _demosaic.ppg_demosaic(
                 bayer, bayer_pattern, median_threshold=settings.ppg_median_threshold
