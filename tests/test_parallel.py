@@ -121,3 +121,39 @@ def test_spatial_full_pipeline_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=1e-5, atol=1e-6)
     diff = np.abs(np.asarray(out).astype(int) - np.asarray(ref_out[0]).astype(int))
     assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
+
+
+def test_multicamera_rig_batch_sharding(rng):
+    """Beetroot-style rig: 12 same-geometry cameras shard over a 4-chip mesh
+    (12 % 4 == 0), per-camera orientation applied after the fused program."""
+    import tpu_darktable.pipeline as pl
+    from tpu_darktable.pipeline.camera_settings import load_camera_settings_from_dir
+
+    cams = load_camera_settings_from_dir()['beetroot']
+    assert isinstance(cams.transform, dict) and len(cams.transform) == 12
+
+    h, w = 64, 96
+    settings = _settings(enable_denoise=False, enable_bilateral=False,
+                         postprocess=False, debayer=Debayer.bilinear)
+    fn = build_pipeline_fn(settings, (w, h), td.BayerPattern.RGGB,
+                           td.PackedFormat.Packed12, True)
+    mesh = make_mesh(jax.devices()[:4])
+    sharded_fn = sharded_pipeline(fn, mesh)
+
+    mosaics = (rng.random((12, h, w)) * 0.8).astype(np.float32)
+    byte_batch = np.stack([
+        np.asarray(packed.encode12_float(jnp.asarray(m.reshape(-1)))) for m in mosaics
+    ])
+    out, b, m = sharded_fn(
+        shard_batch(jnp.asarray(byte_batch), mesh),
+        jnp.asarray([1.8, 1.0, 2.1]), jnp.zeros(2, jnp.float32),
+        jnp.zeros(5, jnp.float32), jnp.float32(1.0),
+    )
+    assert out.shape == (12, h, w, 3)
+
+    from tpu_darktable.pipeline.transform import transform
+    names = [f'cam{i}' for i in range(1, 13)]
+    final = {nm: transform(out[i], cams.get_image_transform(nm))
+             for i, nm in enumerate(names)}
+    assert final['cam1'].shape == (w, h, 3)   # rotate_90
+    assert final['cam7'].shape == (w, h, 3)   # rotate_270
