@@ -9,8 +9,6 @@ specialization replaces the CUDA workspace buffers (SURVEY.md section 7).
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 
 from ._jit import jit_with_static
 from .ops.bayer import BayerPattern, PackedFormat

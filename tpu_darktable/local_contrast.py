@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from ._jit import jit_with_static
 from .ops import color as _color

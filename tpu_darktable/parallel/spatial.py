@@ -20,7 +20,6 @@ strict_alias=False (see ops/rcd.py) so block decomposition is exact.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

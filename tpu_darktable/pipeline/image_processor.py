@@ -18,7 +18,6 @@ tonemap) are kept for API compatibility and run as individually jitted ops.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
@@ -35,7 +34,6 @@ from ..ops import tonemap as _tonemap
 from ..ops import white_balance as _wb
 from ..ops import wiener as _wiener
 from ..ops.bayer import BayerPattern, PackedFormat
-from ..ops.laplacian import LaplacianParams
 from .camera_settings import CameraSettings
 from .config import Debayer, ImageProcessingSettings, ToneMapper
 from .transform import ImageTransform, transform

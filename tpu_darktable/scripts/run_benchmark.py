@@ -23,7 +23,6 @@ from tpu_darktable.ops import (
     demosaic as _dm,
     postprocess as _pp,
     rcd as _rcd,
-    tonemap as _tm,
     wiener as _wn,
     laplacian as _lap,
     color as _cl,

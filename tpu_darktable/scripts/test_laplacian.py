@@ -5,7 +5,6 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-import tpu_darktable as td
 from tpu_darktable.local_contrast import Laplacian, LaplacianParams
 from .util import display_images, load_image
 

@@ -15,7 +15,6 @@ import numpy as np
 
 from .pipeline_ui import (
     CHECKBOX_FIELDS,
-    RADIO_FIELDS,
     SLIDER_FIELDS,
     PipelineController,
     widget_spec,
