@@ -158,83 +158,138 @@ def wiener_denoise(
 
     hp = jax.lax.Precision.HIGH
     analysis, synthesis, n_rep = _rdft2_basis(k)
-    ana3 = jnp.asarray(analysis.reshape(-1, k, k))
-    syn3 = jnp.asarray(synthesis.reshape(-1, k, k))
+    # Fold the analysis window and the per-tile mean into the bases:
+    #   A @ ((t - m) * wf2) = (A*wf2) @ t - m * (A @ wf2)
+    # with the mean extracted by an appended ones/K^2 row, and
+    #   ((Syn^T @ s) + m*wf2) * wi2 = (Syn*wi2)^T @ s + m*(wf2*wi2).
+    # One matmul in, one out - no windowed-tile intermediate and no separate
+    # strided tile-mean reduction (which costs ~16 ms at 12MP here).
+    w2f_np = np.outer(wf, wf).astype(np.float64)
+    w2i_np = np.outer(wi, wi).astype(np.float64)
+    ana_w = analysis.astype(np.float64) * w2f_np.reshape(1, -1)
+    a0_j = jnp.asarray(ana_w.sum(axis=1).astype(np.float32))
+    ana3 = jnp.asarray(
+        np.concatenate([ana_w, np.full((1, k * k), 1.0 / (k * k))], axis=0)
+        .astype(np.float32).reshape(-1, k, k)
+    )
+    syn3 = jnp.asarray(
+        (synthesis.astype(np.float64) * w2i_np.reshape(1, -1))
+        .astype(np.float32).reshape(-1, k, k)
+    )
+    mc_j = jnp.asarray((w2f_np * w2i_np).astype(np.float32))
     sig2 = (sigmas * sigmas)[None, None, :, None]  # (1, 1, C, 1)
 
     # Reflect-pad once (asymmetric modes matching reflect_index) so every
-    # coset slab is a contiguous slice - XLA gathers are slow on TPU.  Small
-    # images (reflection wider than the image) fall back to index gathers.
-    pad_lo, pad_hi = k, 2 * k
-    fast = h > pad_hi and w > pad_hi
+    # coset slab is a contiguous slice - XLA gathers are slow on TPU.  The
+    # bottom/right pad must cover the maximal (padded-to-uniform) coset slab;
+    # small images (reflection wider than the image) fall back to gathers.
+    n_ty_max = -(-grid_h // ov)
+    n_tx_max = -(-grid_w // ov)
+    pad_lo = k
+    pad_hi_r = max(2 * k, n_ty_max * k - stride - h)
+    pad_hi_c = max(2 * k, n_tx_max * k - stride - w)
+    fast = h > pad_hi_r and w > pad_hi_c
     if fast:
-        xr = jnp.concatenate([x[1 : pad_lo + 1][::-1], x, x[::-1][:pad_hi]], axis=0)
+        xr = jnp.concatenate([x[1 : pad_lo + 1][::-1], x, x[::-1][:pad_hi_r]], axis=0)
         xr = jnp.concatenate(
-            [xr[:, 1 : pad_lo + 1][:, ::-1], xr, xr[:, ::-1][:, :pad_hi]], axis=1
+            [xr[:, 1 : pad_lo + 1][:, ::-1], xr, xr[:, ::-1][:, :pad_hi_c]], axis=1
         )
 
-    for ry in range(ov):
-        n_ty = -(-(grid_h - ry) // ov)  # tiles in this row-coset
-        # tile g = ry + m*ov covers source rows (g - ov)*stride + [0, K)
-        row0 = (ry - ov) * stride
-        out_r0 = row0 + k  # output offset in padded coords
-        n_keep_r = min(n_ty * k, h_pad - out_r0)
-        for rx in range(ov):
-            n_tx = -(-(grid_w - rx) // ov)
-            col0 = (rx - ov) * stride
-            out_c0 = col0 + k
-            n_keep_c = min(n_tx * k, w_pad - out_c0)
+    if fast:
+        # Batch all ov^2 cosets into ONE stacked tensor chain: this backend
+        # has large per-HLO-op overhead, so 16 separate coset chains cost far
+        # more than one 16x-bigger chain.  Slab grids are padded to the
+        # maximal coset tile count (the reflect pad covers the over-read);
+        # per-coset crops at accumulation drop the padding tiles.
+        slabs = jnp.stack([
+            xr[
+                pad_lo + (ry - ov) * stride : pad_lo + (ry - ov) * stride + n_ty_max * k,
+                pad_lo + (rx - ov) * stride : pad_lo + (rx - ov) * stride + n_tx_max * k,
+            ]
+            for ry in range(ov)
+            for rx in range(ov)
+        ])  # (ov^2, n_ty_max*K, n_tx_max*K, C)
 
-            if fast:
-                slab = xr[
-                    pad_lo + row0 : pad_lo + row0 + n_ty * k,
-                    pad_lo + col0 : pad_lo + col0 + n_tx * k,
-                ]  # (n_ty*K, n_tx*K, C)
-            else:
+        tiles = slabs.reshape(ov * ov, n_ty_max, k, n_tx_max, k, c)
+        if c == 1:
+            raw = jnp.einsum('ruv,gaubv->gabr', ana3, tiles[..., 0], precision=hp)
+            mean = raw[..., -1:]
+            spec = raw[..., :-1] - mean * a0_j
+            a_part = spec[..., :n_rep]
+            b_part = spec[..., n_rep:]
+            power = a_part * a_part + b_part * b_part + _EPS
+            gain = jnp.maximum(power - sig2[..., 0, :], 0.0) / power
+            spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
+            y = jnp.einsum('ruv,gabr->gaubv', syn3, spec, precision=hp)
+            recon_all = (
+                y + mean[:, :, None, :, :] * mc_j[None, None, :, None, :]
+            ).reshape(ov * ov, n_ty_max * k, n_tx_max * k, 1)
+        else:
+            raw = jnp.einsum('ruv,gaubvc->gabcr', ana3, tiles, precision=hp)
+            mean = raw[..., -1:]
+            spec = raw[..., :-1] - mean * a0_j
+            a_part = spec[..., :n_rep]
+            b_part = spec[..., n_rep:]
+            power = a_part * a_part + b_part * b_part + _EPS
+            gain = jnp.maximum(power - sig2[None], 0.0) / power
+            spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
+            y = jnp.einsum('ruv,gabcr->gaubvc', syn3, spec, precision=hp)
+            recon_all = (
+                y + mean[..., 0][:, :, None, :, None, :]
+                * mc_j[None, None, :, None, :, None]
+            ).reshape(ov * ov, n_ty_max * k, n_tx_max * k, c)
+
+        # Overlap-add as slice-and-sum: output pixel (r, c) receives coset
+        # g's contribution at recon row K + r - ry*stride (always in range;
+        # the uniform-padding tiles land at rows >= H and never reach the
+        # crop).  16 static slices + one sum - no scatter into a padded
+        # accumulator (dynamic-update-slices cost ~3 ms each here).
+        out_acc = 0.0
+        g = 0
+        for ry in range(ov):
+            r0 = k - ry * stride
+            for rx in range(ov):
+                c0 = k - rx * stride
+                out_acc = out_acc + recon_all[g, r0 : r0 + h, c0 : c0 + w]
+                g += 1
+        mask = mrow[:, None] * mcol[None, :]
+        return out_acc / (mask[k : k + h, k : k + w, None] + _EPS)
+    else:
+        for ry in range(ov):
+            n_ty = -(-(grid_h - ry) // ov)
+            row0 = (ry - ov) * stride
+            out_r0 = row0 + k
+            n_keep_r = min(n_ty * k, h_pad - out_r0)
+            for rx in range(ov):
+                n_tx = -(-(grid_w - rx) // ov)
+                col0 = (rx - ov) * stride
+                out_c0 = col0 + k
+                n_keep_c = min(n_tx * k, w_pad - out_c0)
+
                 rows = _reflect_index(row0 + np.arange(n_ty * k), h)
                 cols = _reflect_index(col0 + np.arange(n_tx * k), w)
                 slab = x[jnp.asarray(rows)][:, jnp.asarray(cols)]
-            # (n_ty, K, n_tx, K, C) - no physical transpose; the DFT einsums
-            # address the tile axes in place.
-            tiles = slab.reshape(n_ty, k, n_tx, k, c)
+                tiles = slab.reshape(n_ty, k, n_tx, k, c)
 
-            mean = jnp.mean(tiles, axis=(1, 3), keepdims=True)
-            wf2 = wf_j[None, :, None, None, None] * wf_j[None, None, None, :, None]
-            v = (tiles - mean) * wf2
-
-            # 2-D real DFT as ONE fat matmul over the flattened tile (and one
-            # back): ~5x the FLOPs of a separable DFT but 1/3 the HBM traffic,
-            # the right trade on the MXU.  precision=HIGH keeps bf16 passes
-            # within the float32 parity budget.
-            if c == 1:
-                v1 = v[..., 0]
-                spec = jnp.einsum('ruv,aubv->abr', ana3, v1, precision=hp)
-                a_part = spec[..., :n_rep]
-                b_part = spec[..., n_rep:]
-                power = a_part * a_part + b_part * b_part + _EPS
-                gain = jnp.maximum(power - sig2[..., 0, :], 0.0) / power
-                spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
-                y = jnp.einsum('ruv,abr->aubv', syn3, spec, precision=hp)[..., None]
-            else:
-                spec = jnp.einsum('ruv,aubvc->abcr', ana3, v, precision=hp)
+                raw = jnp.einsum('ruv,aubvc->abcr', ana3, tiles, precision=hp)
+                mean = raw[..., -1:]
+                spec = raw[..., :-1] - mean * a0_j
                 a_part = spec[..., :n_rep]
                 b_part = spec[..., n_rep:]
                 power = a_part * a_part + b_part * b_part + _EPS
                 gain = jnp.maximum(power - sig2, 0.0) / power
                 spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
                 y = jnp.einsum('ruv,abcr->aubvc', syn3, spec, precision=hp)
-
-            wi2 = wi_j[None, :, None, None, None] * wi_j[None, None, None, :, None]
-            recon = (y + mean * wf2) * wi2
-            recon = recon.reshape(n_ty * k, n_tx * k, c)
-
-            acc = acc.at[out_r0 : out_r0 + n_keep_r, out_c0 : out_c0 + n_keep_c].add(
-                recon[:n_keep_r, :n_keep_c]
-            )
+                recon = (
+                    y + mean[..., 0][:, None, :, None, :]
+                    * mc_j[None, :, None, :, None]
+                ).reshape(n_ty * k, n_tx * k, c)
+                acc = acc.at[out_r0 : out_r0 + n_keep_r, out_c0 : out_c0 + n_keep_c].add(
+                    recon[:n_keep_r, :n_keep_c]
+                )
 
     mask = mrow[:, None] * mcol[None, :]
-    out = acc[k : k + h, k : k + w] / (mask[k : k + h, k : k + w, None] + _EPS)
-    return out
+    return acc[k : k + h, k : k + w] / (mask[k : k + h, k : k + w, None] + _EPS)
 
 
 def estimate_channel_noise(image, stride: int = 8):
