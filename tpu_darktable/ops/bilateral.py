@@ -146,17 +146,29 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
     contrib = jnp.float32(1.0 / (sigma_s * sigma_s))
 
     def _splat_axis_fast(img, axis, n_cells):
-        """Tent splat along `axis` via s_int strided slice-adds."""
+        """Tent splat along `axis` via s_int strided slices, summed with
+        zero-extension (concat) rather than .at scatter updates."""
         img = jnp.moveaxis(img, axis, -1)
-        n = img.shape[-1]
-        out = jnp.zeros(img.shape[:-1] + (n_cells,), dtype=_F32)
+        lead = img.shape[:-1]
+
+        def _ext(v, lo):
+            k = v.shape[-1]
+            parts = []
+            if lo:
+                parts.append(jnp.zeros(lead + (lo,), dtype=_F32))
+            parts.append(v)
+            hi = n_cells - lo - k
+            if hi:
+                parts.append(jnp.zeros(lead + (hi,), dtype=_F32))
+            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else v
+
+        out = 0.0
         for m in range(s_int):
             sl = img[..., m::s_int]
-            k = sl.shape[-1]
             f = m / s_int
-            out = out.at[..., :k].add(sl * (1.0 - f))
+            out = out + _ext(sl * (1.0 - f), 0)
             if f > 0.0:
-                out = out.at[..., 1 : k + 1].add(sl * f)
+                out = out + _ext(sl * f, 1)
         return jnp.moveaxis(out, -1, axis)
 
     def xy_splat(img):

@@ -102,16 +102,21 @@ def bilinear5x5_demosaic(image, pattern: BayerPattern):
 
     type_tile = _pixel_type_tiles(pattern)
     # Per-tap weight maps: weight depends on pixel type which is 2x2 periodic.
-    acc = jnp.zeros((h, w, 3), dtype=_F32)
-    norm = jnp.zeros((h, w, 3), dtype=_F32)
+    # Accumulate per channel in plain values (no .at updates - each would be
+    # a dynamic-update-slice op); the normalizers are 2x2-periodic constants.
+    accs = [jnp.zeros((h, w), dtype=_F32) for _ in range(3)]
     for k, (dx, dy) in enumerate(_DIAMOND_OFFSETS):
         v = s(dy, dx)
         for c in range(3):
             wtile = _DIAMOND_KERNELS[type_tile, k, c]  # (2,2) weights by site
             wmap = tile2x2_map(h, w, wtile).astype(_F32)
-            acc = acc.at[..., c].add(v * wmap)
-            norm = norm.at[..., c].add(wmap)
-    return acc / norm
+            accs[c] = accs[c] + v * wmap
+    norm_tiles = _DIAMOND_KERNELS[type_tile].sum(axis=2)  # (2,2,3) per-site sums
+    out = [
+        accs[c] / tile2x2_map(h, w, norm_tiles[..., c]).astype(_F32)
+        for c in range(3)
+    ]
+    return jnp.stack(out, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -371,15 +376,27 @@ def ppg_demosaic(image, pattern: BayerPattern, median_threshold: float = 0.0):
         x = x[..., 0]
     h, w = x.shape
 
-    border = border_interpolate(x, pattern, 3)
-
     src = x
     if median_threshold > 0.0:
         src = pre_median(x, pattern, median_threshold / 100.0)
 
     green = ppg_green(src, pattern)
-    inner = interior_mask(h, w, 3)
-    temp = jnp.where(inner[..., None], green, border)
+
+    # border_interpolate only survives in the 3-px ring of `temp`
+    # (ppg.cu:436-441 composition), so run it on 8-px edge strips instead of
+    # the full image and assemble by concatenation.
+    strip = 8
+    if h <= 2 * strip + 2 or w <= 2 * strip + 2:
+        border = border_interpolate(x, pattern, 3)
+        inner = interior_mask(h, w, 3)
+        temp = jnp.where(inner[..., None], green, border)
+    else:
+        top = border_interpolate(x[:strip], pattern, 3)[:3]
+        bottom = border_interpolate(x[-strip:], pattern, 3)[-3:]
+        left = border_interpolate(x[:, :strip], pattern, 3)[3 : h - 3, :3]
+        right = border_interpolate(x[:, -strip:], pattern, 3)[3 : h - 3, -3:]
+        mid = jnp.concatenate([left, green[3 : h - 3, 3 : w - 3], right], axis=1)
+        temp = jnp.concatenate([top, mid, bottom], axis=0)
 
     return ppg_redblue(temp, pattern)
 

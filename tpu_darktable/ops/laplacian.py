@@ -59,11 +59,10 @@ def _gauss_reduce(fine, ch: int, cw: int, storage):
     out = 0.0
     for i in range(5):
         out = out + w[i] * rows[:, i : i + 2 * cw : 2]
-    # boundary: pos 0 copies pos 1; pos n-1 copies pos n-2
-    out = out.at[0, :].set(out[1, :])
-    out = out.at[ch - 1, :].set(out[ch - 2, :])
-    out = out.at[:, 0].set(out[:, 1])
-    out = out.at[:, cw - 1].set(out[:, cw - 2])
+    # boundary: pos 0 copies pos 1; pos n-1 copies pos n-2 (concatenation,
+    # not .at updates - dynamic-update-slice ops are expensive here)
+    out = jnp.concatenate([out[1:2], out[1:-1], out[-2:-1]], axis=0)
+    out = jnp.concatenate([out[:, 1:2], out[:, 1:-1], out[:, -2:-1]], axis=1)
     return out.astype(storage)
 
 

@@ -87,17 +87,6 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     rows, cols = row_col_iota(h, w)
     col_odd = (cols & 1) == 1
 
-    # ---- border ladder (rcd.cu:616-631) ----
-    out = border_interpolate(x, pattern, 3)
-    green_b = ppg_green(x, pattern, clamp_input=True)
-    in3 = interior_mask(h, w, 3)
-    in32 = interior_mask(h, w, 32)
-    green_ring = in3 & ~in32
-    out = jnp.where(green_ring[..., None], green_b, out)
-    rb_b = ppg_redblue(out, pattern, clamp_input=True)
-    rb_ring = ~interior_mask(h, w, 16)
-    out = jnp.where(rb_ring[..., None], rb_b, out)
-
     # ---- populate (rcd.cu:30-46) ----
     cfa = jnp.maximum(x, 0.0)
     rgb0 = jnp.where(masks['r'], cfa, 0.0)
@@ -244,10 +233,41 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     rgb0 = jnp.where(g52, _fill_52(rgb0), rgb0)
     rgb2 = jnp.where(g52, _fill_52(rgb2), rgb2)
 
-    # ---- write output inside RCD_MARGIN (rcd.cu:49-60, :666-668) ----
+    # ---- write output inside RCD_MARGIN + border ladder ring ----
+    # Only a RCD_MARGIN-wide ring of the border ladder (rcd.cu:616-631)
+    # survives write_output (rcd.cu:666-668), and its data dependencies reach
+    # at most ~11 px inward - so the ladder runs on narrow edge strips
+    # instead of 3 full-image passes (which cost more than the entire main
+    # RCD sequence on TPU).  Assembly is concatenation, not masked selects.
     rgb = jnp.maximum(jnp.stack((rgb0, rgb1, rgb2), axis=-1), 0.0)
-    keep = interior_mask(h, w, RCD_MARGIN)
-    return jnp.where(keep[..., None], rgb, out)
+    m = RCD_MARGIN
+    strip = 16  # ring(7) + redblue(1) + green(3) + interp context
+    if h <= 2 * strip + 2 or w <= 2 * strip + 2:
+        out = _border_ladder(x, pattern)
+        keep = interior_mask(h, w, m)
+        return jnp.where(keep[..., None], rgb, out)
+
+    top = _border_ladder(x[:strip], pattern)[:m]
+    bottom = _border_ladder(x[-strip:], pattern)[-m:]
+    left = _border_ladder(x[:, :strip], pattern)[m : h - m, :m]
+    right = _border_ladder(x[:, -strip:], pattern)[m : h - m, -m:]
+    mid = jnp.concatenate([left, rgb[m : h - m, m : w - m], right], axis=1)
+    return jnp.concatenate([top, mid, bottom], axis=0)
+
+
+def _border_ladder(x, pattern: BayerPattern):
+    """The reference's three-pass border fill (border_interpolate 3 ->
+    rcd_border_green 32 -> rcd_border_redblue 16, rcd.cu:616-631) on the
+    given (sub-)image.  Only values within RCD_MARGIN of a TRUE image edge
+    are meaningful to callers."""
+    h, w = x.shape
+    out = border_interpolate(x, pattern, 3)
+    green_b = ppg_green(x, pattern, clamp_input=True)
+    green_ring = interior_mask(h, w, 3) & ~interior_mask(h, w, 32)
+    out = jnp.where(green_ring[..., None], green_b, out)
+    rb_b = ppg_redblue(out, pattern, clamp_input=True)
+    rb_ring = ~interior_mask(h, w, 16)
+    return jnp.where(rb_ring[..., None], rb_b, out)
 
 
 # ---------------------------------------------------------------------------
