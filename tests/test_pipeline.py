@@ -191,3 +191,37 @@ def test_per_camera_transforms(rng):
     np.testing.assert_array_equal(
         np.asarray(out['cam1']), np.asarray(jnp.rot90(out['cam2'], 1, (0, 1)))
     )
+
+
+def test_streaming_executor(rng):
+    from tpu_darktable.pipeline.streaming import StreamingExecutor
+
+    h, w = 64, 64
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear),
+        transforms={f'f{i}': (ImageTransform.rotate_90 if i % 2 else ImageTransform.none)
+                    for i in range(5)},
+    )
+    frames = []
+    for i in range(5):
+        data, _ = _make_bytes(h, w, rng)
+        frames.append((f'f{i}', jnp.asarray(data)))
+
+    ex = StreamingExecutor(proc, batch_size=2, jpeg_quality=90, jpeg_workers=2)
+    results = ex.run(frames)
+    assert len(results) == 5
+    by_name = {r.name: r for r in results}
+    assert set(by_name) == {f'f{i}' for i in range(5)}
+    for i in range(5):
+        r = by_name[f'f{i}']
+        assert r.error is None
+        assert r.jpeg is not None and r.jpeg[:2] == b'\xff\xd8'
+        expected = (w, h, 3) if i % 2 else (h, w, 3)
+        assert r.image.shape == expected
+
+    # images-only mode
+    ex2 = StreamingExecutor(proc, batch_size=3, jpeg_quality=None)
+    results2 = ex2.run(frames)
+    assert len(results2) == 5 and all(r.jpeg is None for r in results2)

@@ -1,0 +1,178 @@
+"""Streaming executor: overlapped device compute + host JPEG + IO.
+
+The production-serving runtime around the fused pipeline (BASELINE config 5:
+"full fused ISP incl. JPEG, streaming batch"): device batches are dispatched
+asynchronously (JAX dispatch is non-blocking), while worker threads drain
+completed frames into host-side JPEG encoding.  Three stages overlap:
+
+    feed (raw bytes) -> device fused ISP (async) -> host JPEG (thread pool)
+
+The reference has no streaming runtime (it loops synchronously per frame
+with host syncs, image_processor.py:284-300); this is new TPU-first
+infrastructure.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclass
+class StreamResult:
+    """One completed frame."""
+
+    name: str
+    image: np.ndarray | None = None     # uint8 (H, W, 3) unless jpeg-only
+    jpeg: bytes | None = None
+    error: Exception | None = None
+
+
+@dataclass
+class StreamingExecutor:
+    """Pump frame batches through an ImageProcessor with overlapped stages.
+
+    Args:
+        processor: a pipeline.ImageProcessor (holds the fused program + EMA).
+        batch_size: frames per device dispatch.
+        jpeg_quality: encode quality; None disables JPEG (images only).
+        jpeg_workers: host JPEG encoder threads.
+        keep_images: include the uint8 frame in results (costs a transfer
+            anyway when JPEG is on; when False and JPEG on, only bytes).
+    """
+
+    processor: object
+    batch_size: int = 2
+    jpeg_quality: int | None = 90
+    jpeg_workers: int = 2
+    keep_images: bool = True
+    _jpeg: object = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.jpeg_quality is not None:
+            from .. import Jpeg
+
+            self._jpeg = Jpeg()
+
+    def run(self, frames: Iterable[tuple[str, object]],
+            on_result: Callable[[StreamResult], None] | None = None):
+        """Process (name, raw_bytes_array) pairs; returns results in
+        completion order.  Device dispatch for batch i+1 overlaps JPEG
+        encoding of batch i."""
+        results: list[StreamResult] = []
+        out_q: queue.Queue = queue.Queue()
+        jpeg_q: queue.Queue = queue.Queue(maxsize=self.jpeg_workers * 4)
+
+        def _jpeg_worker():
+            while True:
+                item = jpeg_q.get()
+                if item is None:
+                    return
+                name, img = item
+                try:
+                    data = self._jpeg.encode(
+                        np.ascontiguousarray(img), quality=self.jpeg_quality
+                    )
+                    out_q.put(StreamResult(
+                        name=name,
+                        image=img if self.keep_images else None,
+                        jpeg=np.asarray(data).tobytes(),
+                    ))
+                except Exception as e:  # pragma: no cover - defensive
+                    out_q.put(StreamResult(name=name, error=e))
+
+        workers = []
+        if self._jpeg is not None:
+            workers = [
+                threading.Thread(target=_jpeg_worker, daemon=True)
+                for _ in range(self.jpeg_workers)
+            ]
+            for t in workers:
+                t.start()
+
+        pending = 0
+        batch_names: list[str] = []
+        batch_bytes: list = []
+        inflight: list[tuple[list[str], object]] = []
+
+        def _host_transform(img, name):
+            """Orientation transform on host (numpy) - no device round trip."""
+            from .transform import ImageTransform
+
+            tf = self.processor.transforms
+            if isinstance(tf, dict):
+                tf = tf.get(name, ImageTransform.none)
+            match tf:
+                case ImageTransform.none:
+                    return img
+                case ImageTransform.rotate_90:
+                    return np.rot90(img, 1)
+                case ImageTransform.rotate_180:
+                    return np.rot90(img, 2)
+                case ImageTransform.rotate_270:
+                    return np.rot90(img, 3)
+                case ImageTransform.flip_horiz:
+                    return img[:, ::-1]
+                case ImageTransform.flip_vert:
+                    return img[::-1]
+                case ImageTransform.transverse:
+                    return img[::-1, ::-1]
+                case ImageTransform.transpose:
+                    return np.swapaxes(img, 0, 1)
+
+        def _drain_device(batch):
+            nonlocal pending
+            names, out_dev = batch
+            host = np.asarray(out_dev)  # completes the async dispatch
+            for i, name in enumerate(names):
+                img = np.ascontiguousarray(_host_transform(host[i], name))
+                if self._jpeg is not None:
+                    jpeg_q.put((name, img))
+                    pending += 1
+                else:
+                    r = StreamResult(name=name, image=img)
+                    results.append(r)
+                    if on_result:
+                        on_result(r)
+
+        def _flush_batch():
+            if not batch_names:
+                return
+            out = self.processor.process_batch(jnp.stack(
+                [jnp.asarray(b) for b in batch_bytes]))
+            inflight.append((list(batch_names), out))
+            batch_names.clear()
+            batch_bytes.clear()
+            # keep at most one batch in flight: drain the older one while the
+            # device chews on the newer
+            if len(inflight) > 1:
+                _drain_device(inflight.pop(0))
+
+        for name, data in frames:
+            batch_names.append(name)
+            batch_bytes.append(data)
+            if len(batch_names) == self.batch_size:
+                _flush_batch()
+        _flush_batch()
+        while inflight:
+            _drain_device(inflight.pop(0))
+
+        if self._jpeg is not None:
+            for _ in range(pending):
+                r = out_q.get()
+                results.append(r)
+                if on_result:
+                    on_result(r)
+            for _ in workers:
+                jpeg_q.put(None)
+            for t in workers:
+                t.join()
+        return results
+
+
+__all__ = ['StreamResult', 'StreamingExecutor']
