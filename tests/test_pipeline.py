@@ -225,3 +225,24 @@ def test_streaming_executor(rng):
     ex2 = StreamingExecutor(proc, batch_size=3, jpeg_quality=None)
     results2 = ex2.run(frames)
     assert len(results2) == 5 and all(r.jpeg is None for r in results2)
+
+
+def test_laplacian_in_fused_chain(rng):
+    """North-star chain option: local laplacian as the local-contrast stage."""
+    h, w = 64, 64
+    data, _ = _make_bytes(h, w, rng)
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear, enable_laplacian=True, lap_clarity=0.5),
+    )
+    out = np.asarray(proc.process(jnp.asarray(data), 'x'))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+    proc2 = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(enable_denoise=False, enable_bilateral=False, postprocess=False,
+                  debayer=Debayer.bilinear),
+    )
+    out2 = np.asarray(proc2.process(jnp.asarray(data), 'x'))
+    assert (out != out2).any()

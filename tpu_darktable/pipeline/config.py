@@ -158,6 +158,14 @@ class ImageProcessingSettings(BaseModel, frozen=True):
     color_smoothing_passes: int = 3
 
     enable_bilateral: Annotated[bool, Bool(description='Enable bilateral constrast enhancement')] = False
+    # Local-Laplacian alternative for the local-contrast stage (new
+    # capability: the reference builds Laplacian workspaces but never calls
+    # them in its pipeline; the north-star chain names it explicitly).
+    enable_laplacian: Annotated[bool, Bool(description='Enable local-Laplacian contrast')] = False
+    lap_sigma: float = 0.2
+    lap_shadows: float = 1.0
+    lap_highlights: float = 1.0
+    lap_clarity: float = 0.0
     bilateral: Annotated[
         float, Float(range=(0.0, 1.0), description='Bilateral constrast enhancement amount')
     ] = 0.4

@@ -104,6 +104,16 @@ def build_pipeline_fn(
         )
         return _color.modify_luminance(rgb, out)
 
+    def _laplacian_one(rgb):
+        from ..ops import laplacian as _lap
+
+        lum = _color.compute_luminance(rgb)
+        params = _lap.LaplacianParams(
+            sigma=settings.lap_sigma, shadows=settings.lap_shadows,
+            highlights=settings.lap_highlights, clarity=settings.lap_clarity,
+        )
+        return _color.modify_luminance(rgb, _lap.local_laplacian(lum, params))
+
     def _tonemap_batch(rgb, metrics):
         params = _tonemap.TonemapParameters(
             settings.tone_gamma, settings.tone_intensity, settings.light_adapt, settings.vibrance
@@ -141,6 +151,8 @@ def build_pipeline_fn(
             rgb = jax.vmap(_denoise_one)(rgb)
         if settings.enable_bilateral:
             rgb = jax.vmap(_bilateral_one)(rgb)
+        if settings.enable_laplacian:
+            rgb = jax.vmap(_laplacian_one)(rgb)
 
         metrics_new = _tonemap.compute_image_metrics(rgb, stride=8)
         metrics = lerp(metrics_in, metrics_new, alpha)
@@ -344,6 +356,15 @@ class ImageProcessor:
             rgb_raw = self.wiener_workspace.process_log_luminance(rgb_raw, self.settings.denoise)
         if self.settings.enable_bilateral:
             rgb_raw = self.bil_workspace.process_rgb(rgb_raw, self.settings.bilateral)
+        if self.settings.enable_laplacian:
+            from ..ops import color as _c, laplacian as _lap
+
+            lum = _c.compute_luminance(rgb_raw)
+            params = _lap.LaplacianParams(
+                sigma=self.settings.lap_sigma, shadows=self.settings.lap_shadows,
+                highlights=self.settings.lap_highlights, clarity=self.settings.lap_clarity,
+            )
+            rgb_raw = _c.modify_luminance(rgb_raw, _lap.local_laplacian(lum, params))
         return rgb_raw
 
     def tonemap(self, rgb_raw, metrics=None):
