@@ -3,9 +3,19 @@
 import sys
 from pathlib import Path
 
+import os
+
 import jax
+import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+# The driver compile-checks entry() and runs dryrun_multichip itself; these
+# in-suite copies add ~4 min of CPU compiles, so they are opt-in.
+pytestmark = pytest.mark.skipif(
+    not os.environ.get('TD_RUN_SLOW_TESTS'),
+    reason='slow; driver exercises __graft_entry__ directly (set TD_RUN_SLOW_TESTS=1)',
+)
 
 
 def test_entry_compiles():
