@@ -109,3 +109,18 @@ def test_matches_numpy_fft_reference(rng):
         ref = _wiener_numpy_reference(img.astype(np.float64), 0.05, k, ov)
         out = np.asarray(wiener.wiener_denoise(jnp.asarray(img), 0.05, k, ov))
         np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_pallas_core_matches_xla_path(rng):
+    """kernels/wiener_core.py (interpret mode) == the XLA einsum path.
+
+    The kernel emulates fp32 matmuls as bf16x3 (Mosaic has no HIGH
+    precision), so agreement is to bf16x3 rounding, not bitwise.
+    """
+    for shape, sig in [((96, 128, 3), [0.05, 0.03, 0.04]), ((96, 128, 1), 0.04)]:
+        img = jnp.asarray(rng.random(shape).astype(np.float32))
+        a = np.asarray(wiener.wiener_denoise(img, sig, use_pallas=False))
+        b = np.asarray(
+            wiener.wiener_denoise(img, sig, use_pallas=True, _pallas_interpret=True)
+        )
+        np.testing.assert_allclose(a, b, atol=1e-4)

@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+try:  # Pallas fused tile core (TPU); XLA einsum path remains the fallback
+    from ..kernels.wiener_core import wiener_tile_core as _wiener_tile_core
+except Exception:  # pragma: no cover - pallas unavailable on exotic setups
+    _wiener_tile_core = None
+
 _F32 = jnp.float32
 _EPS = 1e-15
 
@@ -101,6 +106,9 @@ def wiener_denoise(
     overlap_factor: int = 4,
     fft_scale: float = 0.3,
     interp_scale: float = 0.3,
+    precision=jax.lax.Precision.HIGH,
+    use_pallas: bool | None = None,
+    _pallas_interpret: bool = False,
 ):
     """Wiener-filter an (H, W, C) image, C in {1, 3}.
 
@@ -109,6 +117,16 @@ def wiener_denoise(
         noise_sigmas: scalar or (C,) per-channel noise sigma.
         tile_size: K in {16, 32}.
         overlap_factor: 2, 4, or 8; tile stride = K / overlap_factor.
+        precision: MXU precision for the DFT matmuls.  HIGH emulates the
+            reference's fp32 cuFFT round trip (denoise.cu:181-220); DEFAULT
+            runs single-pass bf16 - measurably faster, bounded extra error.
+        use_pallas: run the DFT->gain->IDFT core as one fused Pallas kernel
+            (kernels/wiener_core.py).  Off by default: measured ~5% SLOWER
+            than the XLA path on v5e (184.6 vs 174.7 ms, 12MP/3ch) - the
+            einsum formulation is already matmul-bound and XLA's internal
+            canonicalization performs the same tile permute the kernel
+            boundary forces explicitly.  Retained as the fused-kernel
+            template and for future Mosaic improvements.
 
     Returns:
         (H, W, C) float32 denoised image.
@@ -156,7 +174,7 @@ def wiener_denoise(
     mrow = jnp.asarray(_mask_1d(h_pad, grid_h))
     mcol = jnp.asarray(_mask_1d(w_pad, grid_w))
 
-    hp = jax.lax.Precision.HIGH
+    hp = precision
     analysis, synthesis, n_rep = _rdft2_basis(k)
     # Fold the analysis window and the per-tile mean into the bases:
     #   A @ ((t - m) * wf2) = (A*wf2) @ t - m * (A @ wf2)
@@ -167,15 +185,15 @@ def wiener_denoise(
     w2f_np = np.outer(wf, wf).astype(np.float64)
     w2i_np = np.outer(wi, wi).astype(np.float64)
     ana_w = analysis.astype(np.float64) * w2f_np.reshape(1, -1)
+    ana_aug_np = np.concatenate(
+        [ana_w, np.full((1, k * k), 1.0 / (k * k))], axis=0
+    ).astype(np.float32)
+    syn_w_np = (
+        synthesis.astype(np.float64) * w2i_np.reshape(1, -1)
+    ).astype(np.float32)
     a0_j = jnp.asarray(ana_w.sum(axis=1).astype(np.float32))
-    ana3 = jnp.asarray(
-        np.concatenate([ana_w, np.full((1, k * k), 1.0 / (k * k))], axis=0)
-        .astype(np.float32).reshape(-1, k, k)
-    )
-    syn3 = jnp.asarray(
-        (synthesis.astype(np.float64) * w2i_np.reshape(1, -1))
-        .astype(np.float32).reshape(-1, k, k)
-    )
+    ana3 = jnp.asarray(ana_aug_np.reshape(-1, k, k))
+    syn3 = jnp.asarray(syn_w_np.reshape(-1, k, k))
     mc_j = jnp.asarray((w2f_np * w2i_np).astype(np.float32))
     sig2 = (sigmas * sigmas)[None, None, :, None]  # (1, 1, C, 1)
 
@@ -194,6 +212,63 @@ def wiener_denoise(
         xr = jnp.concatenate(
             [xr[:, 1 : pad_lo + 1][:, ::-1], xr, xr[:, ::-1][:, :pad_hi_c]], axis=1
         )
+
+    if use_pallas is None:
+        use_pallas = False  # XLA path measured faster; see docstring
+    use_pallas = use_pallas and fast and _wiener_tile_core is not None
+
+    if use_pallas:
+        # Fused Pallas core: channel-planar slabs stacked on the grid axis
+        # (G = C*ov^2), the whole DFT->gain->IDFT per tile-row in VMEM.
+        # Mosaic cannot lane-reshape, so tiles are flattened XLA-side; the
+        # permute fuses into the slab-build copy (it is the same transpose
+        # XLA's einsum canonicalization performs internally on the fallback
+        # path, moved out where the kernel boundary forces it anyway).
+        gg = c * ov * ov
+        slabs = jnp.stack([
+            xr[
+                pad_lo + (ry - ov) * stride : pad_lo + (ry - ov) * stride + n_ty_max * k,
+                pad_lo + (rx - ov) * stride : pad_lo + (rx - ov) * stride + n_tx_max * k,
+                ch,
+            ]
+            for ch in range(c)
+            for ry in range(ov)
+            for rx in range(ov)
+        ])  # (C*ov^2, n_ty_max*K, n_tx_max*K)
+        tiles_t = (
+            slabs.reshape(gg, n_ty_max, k, n_tx_max, k)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(gg * n_ty_max, n_tx_max, k * k)
+        )
+        recon_t = _wiener_tile_core(
+            tiles_t,
+            jnp.asarray(ana_aug_np.T),
+            jnp.asarray(syn_w_np),
+            a0_j[None, :],
+            mc_j.reshape(1, k * k),
+            jnp.repeat(sigmas * sigmas, ov * ov * n_ty_max),
+            n_rep=n_rep,
+            interpret=_pallas_interpret,
+        )
+        recon_all = (
+            recon_t.reshape(gg, n_ty_max, n_tx_max, k, k)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(gg, n_ty_max * k, n_tx_max * k)
+        )
+        chans = []
+        g = 0
+        for ch in range(c):
+            acc_ch = 0.0
+            for ry in range(ov):
+                r0 = k - ry * stride
+                for rx in range(ov):
+                    c0 = k - rx * stride
+                    acc_ch = acc_ch + recon_all[g, r0 : r0 + h, c0 : c0 + w]
+                    g += 1
+            chans.append(acc_ch)
+        out_acc = jnp.stack(chans, axis=-1)
+        mask = mrow[:, None] * mcol[None, :]
+        return out_acc / (mask[k : k + h, k : k + w, None] + _EPS)
 
     if fast:
         # Batch all ov^2 cosets into ONE stacked tensor chain: this backend
