@@ -76,7 +76,9 @@ def main():
                   'Wiener+bilateral+adaptive-ACES, single chip)',
         'value': round(fps, 2),
         'unit': 'frames/sec',
-        'vs_baseline': round(fps / 2000.0, 4),
+        # BASELINE.json target: >= 2000 fps on a v5e-8; the metric is
+        # frames/sec/CHIP, so the per-chip baseline is 2000 / 8 = 250.
+        'vs_baseline': round(fps / 250.0, 4),
     }
     print(json.dumps(result))
     return 0

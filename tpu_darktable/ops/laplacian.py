@@ -110,12 +110,18 @@ def local_laplacian(
     mono,
     params: LaplacianParams = LaplacianParams(),
     storage_dtype=jnp.float16,
+    max_supp: int | None = None,
 ):
     """Local-Laplacian filter an (H, W) luminance plane
     (LaplacianImpl::process, laplacian.cu:442-479).
 
     `storage_dtype` emulates the reference's fp16 pyramid storage
     (float16 for parity; float32/bfloat16 for speed on TPU).
+
+    `max_supp` overrides the boundary pad (reference: 1 << (n_levels - 1),
+    laplacian.cu:416).  Boundary effects decay inward level by level, so a
+    smaller pad can leave the cropped interior numerically unchanged while
+    shrinking the padded working set substantially at large sizes.
     """
     x = jnp.asarray(mono, dtype=_F32)
     h, w = x.shape
@@ -124,7 +130,8 @@ def local_laplacian(
     highlights, clarity = params.highlights, params.clarity
 
     n_levels = num_levels_for(w, h)
-    max_supp = 1 << (n_levels - 1)
+    if max_supp is None:
+        max_supp = 1 << (n_levels - 1)
     bw, bh = w + 2 * max_supp, h + 2 * max_supp
 
     dims = [(_dl(bh, l), _dl(bw, l)) for l in range(n_levels)]
