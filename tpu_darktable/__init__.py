@@ -12,6 +12,7 @@ from . import (
     color_conversion,
     debayer,
     denoise,
+    extension,
     jpeg,
     local_contrast,
     tonemap,
@@ -102,6 +103,7 @@ __all__ = [
     'encode12_u16',
     'estimate_channel_noise',
     'estimate_white_balance',
+    'extension',
     'jpeg',
     'lab_to_rgb',
     'lab_to_xyz',
