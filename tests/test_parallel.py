@@ -157,3 +157,45 @@ def test_multicamera_rig_batch_sharding(rng):
              for i, nm in enumerate(names)}
     assert final['cam1'].shape == (w, h, 3)   # rotate_90
     assert final['cam7'].shape == (w, h, 3)   # rotate_270
+
+
+def test_sharded_image_processor_multicamera(rng):
+    """ImageProcessor(mesh=...): a 12-camera set shards over a 4-device
+    submesh (the beetroot rig pattern) and matches the unsharded processor."""
+    from tpu_darktable.pipeline import ImageProcessor
+    from tpu_darktable.pipeline.transform import ImageTransform
+
+    h, w = 64, 96
+    names = [f'cam{i:02d}' for i in range(12)]
+    frames = {}
+    for name in names:
+        m = (rng.random((h, w)) * 0.8).astype(np.float32)
+        frames[name] = jnp.asarray(
+            np.asarray(packed.encode12_float(jnp.asarray(m.reshape(-1))))
+        )
+
+    mesh = make_mesh(jax.devices()[:4])
+    kw = dict(
+        image_size=(w, h),
+        bayer_pattern=td.BayerPattern.RGGB,
+        packed_format=td.PackedFormat.Packed12,
+        settings=_settings(),
+        white_balance=(1.2, 1.0, 1.1),
+        transforms={n: ImageTransform.rotate_90 for n in names[:3]}
+        | {n: ImageTransform.none for n in names[3:]},
+    )
+    sharded = ImageProcessor(mesh=mesh, **kw)
+    single = ImageProcessor(**kw)
+
+    out_s = sharded.process_image_set(frames)
+    out_1 = single.process_image_set(frames)
+    assert set(out_s) == set(names)
+    for n in names:
+        diff = np.abs(np.asarray(out_s[n]).astype(int) - np.asarray(out_1[n]).astype(int))
+        assert diff.max() <= 1, (n, diff.max())  # reduction reassociation
+    np.testing.assert_allclose(np.asarray(sharded.bounds), np.asarray(single.bounds),
+                               rtol=1e-5)
+
+    # divisibility guard
+    with pytest.raises(ValueError, match='divisible'):
+        sharded.process_batch(jnp.stack([frames['cam00']] * 5))

@@ -181,7 +181,13 @@ class ImageProcessor:
         white_balance: tuple[float, float, float] | None = None,
         transforms: ImageTransform | dict[str, ImageTransform] = ImageTransform.none,
         padding: int = 0,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'batch' axis - frame
+        batches / multi-camera sets then shard across its devices (the
+        beetroot 12-camera rig maps cameras across chips this way); the EMA
+        statistics reductions lower to psum collectives over ICI.  Batch
+        size must be divisible by the mesh size."""
         self.device = device
         self.settings = settings
         self.image_size = tuple(image_size)
@@ -189,6 +195,7 @@ class ImageProcessor:
         self.packed_format = packed_format
         self.transforms = transforms
         self.padding = padding
+        self.mesh = mesh
 
         self.metrics = None
         self.bounds = None
@@ -227,15 +234,19 @@ class ImageProcessor:
         )
         self.wiener_workspace = _Wiener(self.device, self.image_size)
 
-        self._fused = jax.jit(
-            build_pipeline_fn(
-                self.settings,
-                self.image_size,
-                self.bayer_pattern,
-                self.packed_format,
-                self.white_balance is not None,
-            )
+        fused = build_pipeline_fn(
+            self.settings,
+            self.image_size,
+            self.bayer_pattern,
+            self.packed_format,
+            self.white_balance is not None,
         )
+        if self.mesh is not None:
+            from ..parallel.mesh import sharded_pipeline
+
+            self._fused = sharded_pipeline(fused, self.mesh)
+        else:
+            self._fused = jax.jit(fused)
 
     def __repr__(self) -> str:
         wb_str = (
@@ -411,6 +422,11 @@ class ImageProcessor:
             )
         if self.padding > 0:
             bytes_batch = bytes_batch[:, : -self.padding]
+        if self.mesh is not None and bytes_batch.shape[0] % self.mesh.size != 0:
+            raise ValueError(
+                f'batch size {bytes_batch.shape[0]} must be divisible by the '
+                f'mesh size {self.mesh.size} for sharded processing'
+            )
 
         first = self.bounds is None
         alpha = jnp.float32(1.0 if first else self.settings.moving_average)
