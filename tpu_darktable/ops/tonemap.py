@@ -45,7 +45,9 @@ def compute_image_bounds(images, stride: int = 8):
     Returns a (2,) float32 array.
     """
     batch = _as_batch(images)
-    sampled = batch[:, ::stride, ::stride, :]
+    # Two sequential 1-D strided slices: a fused 2-D strided slice costs
+    # ~3 ms extra at 12MP on TPU (pathological gather-like lowering).
+    sampled = batch[:, ::stride][:, :, ::stride]
     return jnp.stack((jnp.min(sampled), jnp.max(sampled))).astype(jnp.float32)
 
 
@@ -58,7 +60,7 @@ def compute_image_metrics(images, stride: int = 8, min_gray: float = 1e-4, resca
     host-syncs on valid_count.item(); here it stays on device).
     """
     batch = _as_batch(images)
-    sampled = batch[:, ::stride, ::stride, :].astype(jnp.float32)
+    sampled = batch[:, ::stride][:, :, ::stride].astype(jnp.float32)
 
     if rescale:
         bounds = compute_image_bounds(images, stride)

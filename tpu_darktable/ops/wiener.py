@@ -388,7 +388,8 @@ def estimate_channel_noise(image, stride: int = 8):
         - p[:, 1 : 1 + h, 0:w]
         - p[:, 1 : 1 + h, 2 : 2 + w]
     )
-    sub = hf[:, ::stride, ::stride].reshape(3, -1)
+    # two 1-D strided slices: a fused 2-D strided slice lowers poorly on TPU
+    sub = hf[:, ::stride][:, :, ::stride].reshape(3, -1)
     med = jnp.median(sub, axis=1, keepdims=True)
     mad = jnp.median(jnp.abs(sub - med), axis=1)
     return mad / 0.6745
