@@ -9,10 +9,16 @@ in SURVEY.md section 3.1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .bayer import BayerPattern
 from ._stencil import Shifter, median9, row_col_iota, site_masks
+
+try:  # fused Pallas cascade (TPU); per-pass XLA path is the fallback
+    from ..kernels.color_smooth import color_smooth_diffs as _color_smooth_diffs
+except Exception:  # pragma: no cover - pallas unavailable on exotic setups
+    _color_smooth_diffs = None
 
 _F32 = jnp.float32
 
@@ -44,6 +50,34 @@ def color_smoothing_pass(rgb):
     b = jnp.maximum(b_med + g, 0.0)
     out = jnp.stack((r, jnp.maximum(g, 0.0), b), axis=-1)
     return out
+
+
+def color_smoothing(rgb, n_passes: int, use_pallas: bool | None = None,
+                    _pallas_interpret: bool = False):
+    """N median passes, fused into one Pallas kernel when available.
+
+    Identical math to n_passes x color_smoothing_pass (the kernel cascades
+    the same zero-fill medians in VMEM, one HBM round trip instead of N;
+    kernels/color_smooth.py).  `use_pallas` None = auto (TPU backend only).
+    """
+    rgb = jnp.asarray(rgb, dtype=_F32)
+    if n_passes <= 0:
+        return rgb
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    use_pallas = use_pallas and _color_smooth_diffs is not None
+    if not use_pallas:
+        out = rgb
+        for _ in range(n_passes):
+            out = color_smoothing_pass(out)
+        return out
+
+    g_raw = rgb[..., 1]
+    diffs = jnp.stack((rgb[..., 0] - g_raw, rgb[..., 2] - g_raw))
+    d_out = _color_smooth_diffs(diffs, g_raw, n_passes=n_passes,
+                                interpret=_pallas_interpret)
+    gc = jnp.maximum(g_raw, 0.0)
+    return jnp.stack((d_out[0] + gc, gc, d_out[1] + gc), axis=-1)
 
 
 def green_eq_global(rgb, pattern: BayerPattern):
@@ -129,8 +163,7 @@ def postprocess(
     postprocess.cu:311-390): N smoothing passes -> global green eq -> local
     green eq."""
     out = jnp.asarray(rgb, dtype=_F32)
-    for _ in range(color_smoothing_passes):
-        out = color_smoothing_pass(out)
+    out = color_smoothing(out, color_smoothing_passes)
     if green_eq_global_enabled:
         out = green_eq_global(out, pattern)
     if green_eq_local_enabled:
@@ -139,6 +172,7 @@ def postprocess(
 
 
 __all__ = [
+    'color_smoothing',
     'color_smoothing_pass',
     'green_eq_global',
     'green_eq_local',
