@@ -27,7 +27,16 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+try:  # fused Pallas blur cascade (TPU); per-axis XLA passes fall back
+    from ..kernels.grid_blur import (
+        grid_blur_xyz as _grid_blur_xyz,
+        grid_blur_vmem_ok as _grid_blur_vmem_ok,
+    )
+except Exception:  # pragma: no cover - pallas unavailable on exotic setups
+    _grid_blur_xyz = None
 
 _F32 = jnp.float32
 
@@ -91,6 +100,30 @@ def _axis_slice_weights(n_pixels: int, n_cells: int, sigma: float):
     return ib, frac
 
 
+def _blur_xyz(grid, z_weights_mode: str, use_pallas: bool | None,
+              interpret: bool = False):
+    """x/y gaussian + z (derivative|gaussian) blur chain.
+
+    Uses the fused Pallas kernel (kernels/grid_blur.py, one HBM round trip
+    instead of three) on the TPU backend when the band fits VMEM; falls
+    back to the three per-axis XLA passes.  Outputs agree to float
+    rounding (1 ulp; accumulation-order only)."""
+    w_gauss = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+    w_deriv = (-2.0 / 16.0, -4.0 / 16.0, 0.0, 4.0 / 16.0, 2.0 / 16.0)
+    gz, _, gx = grid.shape
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas and _grid_blur_xyz is not None:
+        for bh in (64, 32, 16, 8):
+            if _grid_blur_vmem_ok(gz, gx, bh):
+                return _grid_blur_xyz(grid, bh=bh, z_mode=z_weights_mode,
+                                      interpret=interpret)
+    grid = _blur5(grid, 2, w_gauss)
+    grid = _blur5(grid, 1, w_gauss)
+    wz = w_deriv if z_weights_mode == 'derivative' else w_gauss
+    return _blur5(grid, 0, wz)
+
+
 def _blur5(grid, axis: int, weights):
     """5-tap correlation along `axis` with zero boundary (truncated taps),
     matching blur_line / blur_line_z edge handling (bilateral.cu:132-204)."""
@@ -109,7 +142,9 @@ def _blur5(grid, axis: int, weights):
 
 
 def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
-                      _force_general: bool = False):
+                      _force_general: bool = False,
+                      _use_pallas_blur: bool | None = None,
+                      _pallas_interpret: bool = False):
     """Detail boost on an (H, W) luminance plane (BilateralImpl::process,
     bilateral.cu:358-385).
 
@@ -189,11 +224,8 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
     grid = jnp.stack(slabs, axis=0)  # (gz, gy, gx)
 
     # Blur x, then y (gaussian), then z (derivative) - bilateral.cu:370-376.
-    w_gauss = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
-    w_deriv = (-2.0 / 16.0, -4.0 / 16.0, 0.0, 4.0 / 16.0, 2.0 / 16.0)
-    grid = _blur5(grid, 2, w_gauss)
-    grid = _blur5(grid, 1, w_gauss)
-    grid = _blur5(grid, 0, w_deriv)
+    grid = _blur_xyz(grid, 'derivative', use_pallas=_use_pallas_blur,
+                     interpret=_pallas_interpret)
 
     # Slice: trilinear read of the blurred-derivative grid (bilateral.cu:208-228).
     ib_z = jnp.minimum(g_z.astype(jnp.int32), gz - 2)
@@ -272,10 +304,8 @@ def bilateral_denoise(luminance, sigma_s: float, sigma_r: float, amount: float):
     grid_num = jnp.stack(num_slabs, axis=0)
     grid_den = jnp.stack(den_slabs, axis=0)
 
-    w_gauss = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
-    for axis in (2, 1, 0):
-        grid_num = _blur5(grid_num, axis, w_gauss)
-        grid_den = _blur5(grid_den, axis, w_gauss)
+    grid_num = _blur_xyz(grid_num, 'gaussian', use_pallas=None)
+    grid_den = _blur_xyz(grid_den, 'gaussian', use_pallas=None)
 
     ib_x, frac_x = _axis_slice_weights(w, gx, sigma_s)
     ib_y, frac_y = _axis_slice_weights(h, gy, sigma_s)
