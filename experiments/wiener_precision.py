@@ -49,6 +49,4 @@ grid_h = (H + k + stride - 1) // stride + ov
 grid_w = (W + k + stride - 1) // stride + ov
 n_t = (-(-grid_h // ov) * ov) * (-(-grid_w // ov) * ov) * C
 flops = n_t * 2 * (k * k) * (k * k + 5) * 2
-for name in results:
-    pass
 print(f'matmul flops/call: {flops/1e12:.2f} Tflop')

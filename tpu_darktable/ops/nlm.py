@@ -18,6 +18,13 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+try:  # fused Pallas offset loop (TPU); fori_loop XLA path is the fallback
+    from ..kernels.nlm import nlm_core as _nlm_core
+    from ..kernels.wavelet import wavelet_core as _wavelet_core
+except Exception:  # pragma: no cover - pallas unavailable on exotic setups
+    _nlm_core = None
+    _wavelet_core = None
+
 _F32 = jnp.float32
 
 # B3-spline scaling kernel (the classic a-trous choice)
@@ -40,7 +47,9 @@ def _atrous_blur(x, step: int):
     return out
 
 
-def wavelet_denoise(image, sigma, levels: int = 4, threshold_scale: float = 3.0):
+def wavelet_denoise(image, sigma, levels: int = 4, threshold_scale: float = 3.0,
+                    use_pallas: bool | None = None,
+                    _pallas_interpret: bool = False):
     """A-trous wavelet soft-threshold denoise.
 
     Args:
@@ -54,11 +63,24 @@ def wavelet_denoise(image, sigma, levels: int = 4, threshold_scale: float = 3.0)
     Returns:
         Denoised image, same shape.
     """
+    import jax
+
     x = jnp.asarray(image, dtype=_F32)
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
     sig = jnp.broadcast_to(jnp.asarray(sigma, dtype=_F32).reshape(-1), (x.shape[-1],))
+
+    # Fused Pallas cascade: all levels in one VMEM round trip (the band
+    # must cover the dependency cone: 2*(2^levels - 1) <= 32 rows).
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas and _wavelet_core is not None and 2 * ((1 << levels) - 1) <= 32:
+        planes = jnp.moveaxis(x, -1, 0)
+        out = _wavelet_core(planes, threshold_scale * sig, levels=levels,
+                            interpret=_pallas_interpret)
+        out = jnp.moveaxis(out, 0, -1)
+        return out[..., 0] if squeeze else out
 
     current = x
     residual = 0.0
@@ -94,6 +116,8 @@ def nlm_denoise(
     strength: float,
     search_radius: int = 3,
     patch_radius: int = 1,
+    use_pallas: bool | None = None,
+    _pallas_interpret: bool = False,
 ):
     """Non-local means over a (2*search_radius+1)^2 window.
 
@@ -119,6 +143,18 @@ def nlm_denoise(
 
     n_patch = (2 * patch_radius + 1) ** 2
     inv_h2 = 1.0 / (strength * strength * n_patch * cdim)
+
+    # Fused Pallas path: the whole offset loop stays in VMEM - one image
+    # read instead of (2r+1)^2 full-image round trips (kernels/nlm.py).
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas and _nlm_core is not None:
+        planes = jnp.moveaxis(x, -1, 0)
+        out = _nlm_core(planes, inv_h2, search_radius=search_radius,
+                        patch_radius=patch_radius,
+                        interpret=_pallas_interpret)
+        out = jnp.moveaxis(out, 0, -1)
+        return out[..., 0] if squeeze else out
 
     pad = search_radius
     xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode='edge')
