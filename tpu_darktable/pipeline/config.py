@@ -1,118 +1,122 @@
 """Typed processing configuration with introspectable validators.
 
-Mirror of the reference pipeline/config.py:10-157: pydantic frozen models
-whose fields carry range/description metadata through Annotated validators,
-so UIs can auto-build sliders (get_validator).  Field names, ranges and
-defaults match the reference exactly; settings hash into jit cache keys (the
-TPU analog of the reference rebuilding CUDA workspaces on settings change).
+TPU-native counterpart of the reference config layer (pipeline/config.py:
+10-157): pydantic frozen models whose fields carry range/description/step
+metadata through Annotated markers, so UIs can auto-build sliders
+(get_validator).  The *schema* — field names, ranges, defaults, enum values
+— is the reference's public API surface and matches it exactly; settings
+hash into jit cache keys (the TPU analog of the reference rebuilding CUDA
+workspaces on settings change).  The validator machinery itself is this
+repo's own: one base class owning the pydantic plumbing, subclasses supply
+a `coerce` hook and optional serializer.
 """
 
 from __future__ import annotations
 
 from enum import Enum
 from pathlib import Path
-from typing import Annotated, Literal, get_args, get_origin
+from typing import Annotated, Literal, get_args, get_origin, get_type_hints
 
 from pydantic import BaseModel, GetCoreSchemaHandler
 from pydantic_core import core_schema
 
 
 class Validator:
-    """Base class for introspectable field validators (config.py:10-12)."""
+    """UI-introspectable field constraint, attached via ``Annotated``.
 
-    description: str
+    Subclasses implement ``coerce(value) -> value`` (raising ValueError on
+    constraint violation) and may override ``serialize`` for custom JSON
+    forms.  The pydantic-core schema wiring lives here once, so subclasses
+    stay declarative.  Counterpart of reference config.py:10-77.
+    """
+
+    description: str = ''
+
+    def coerce(self, value):
+        return value
+
+    serialize = None  # optional: fn(value) -> json-compatible value
+
+    def __get_pydantic_core_schema__(self, _source_type, _handler: GetCoreSchemaHandler):
+        schema = core_schema.no_info_plain_validator_function(self.coerce)
+        if self.serialize is not None:
+            schema['serialization'] = core_schema.plain_serializer_function_ser_schema(
+                self.serialize, when_used='always'
+            )
+        return schema
 
 
-class Float(Validator):
-    def __init__(self, range: tuple[float, float], description: str, step: float | None = None):
+class _NumberInRange(Validator):
+    """Shared numeric range check; `_cast` picks the target type."""
+
+    _cast: type
+
+    def __init__(self, range, description: str, step=None):
         self.range = range
         self.description = description
         self.step = step
 
-    def __get_pydantic_core_schema__(self, _source_type, _handler: GetCoreSchemaHandler):
-        def validate(v):
-            v = float(v)
-            if not (self.range[0] <= v <= self.range[1]):
-                raise ValueError(f'{v} not in [{self.range[0]}, {self.range[1]}]')
-            return v
-
-        return core_schema.no_info_plain_validator_function(validate)
+    def coerce(self, value):
+        value = self._cast(value)
+        lo, hi = self.range
+        if value < lo or value > hi:
+            raise ValueError(f'{value} not in [{lo}, {hi}]')
+        return value
 
 
-class Int(Validator):
-    def __init__(self, range: tuple[int, int], description: str, step: int | None = None):
-        self.range = range
-        self.description = description
-        self.step = step
+class Float(_NumberInRange):
+    _cast = float
 
-    def __get_pydantic_core_schema__(self, _source_type, _handler: GetCoreSchemaHandler):
-        def validate(v):
-            v = int(v)
-            if not (self.range[0] <= v <= self.range[1]):
-                raise ValueError(f'{v} not in [{self.range[0]}, {self.range[1]}]')
-            return v
 
-        return core_schema.no_info_plain_validator_function(validate)
+class Int(_NumberInRange):
+    _cast = int
 
 
 class Bool(Validator):
     def __init__(self, description: str):
         self.description = description
 
-    def __get_pydantic_core_schema__(self, _source_type, _handler: GetCoreSchemaHandler):
-        def validate(v):
-            return bool(v)
-
-        return core_schema.no_info_plain_validator_function(validate)
+    coerce = staticmethod(bool)
 
 
 class EnumValidator[TEnum: Enum](Validator):
-    """String <-> enum (and dict-of-enum for per-camera transforms),
-    config.py:54-77."""
+    """Name-string <-> enum member, plus dict-of-enum values (the per-camera
+    transform maps in beetroot.json).  Counterpart of config.py:54-77."""
 
     def __init__(self, enum_type: type[TEnum], description: str):
         self.enum_type = enum_type
         self.description = description
 
-    def __get_pydantic_core_schema__(self, _source_type, _handler: GetCoreSchemaHandler):
-        def validate(v):
-            if isinstance(v, self.enum_type):
-                return v
-            if isinstance(v, str):
-                return self.enum_type[v]
-            if isinstance(v, dict):
-                return {
-                    k: self.enum_type[val] if isinstance(val, str) else val
-                    for k, val in v.items()
-                }
-            raise ValueError(f'{v} is not a {self.enum_type.__name__}')
+    def _member(self, value):
+        if isinstance(value, self.enum_type):
+            return value
+        if isinstance(value, str):
+            return self.enum_type[value]
+        raise ValueError(f'{value} is not a {self.enum_type.__name__}')
 
-        def serialize(v):
-            if isinstance(v, dict):
-                return {k: val.name for k, val in v.items()}
-            return v.name
+    def coerce(self, value):
+        if isinstance(value, dict):
+            return {key: self._member(item) for key, item in value.items()}
+        return self._member(value)
 
-        return core_schema.no_info_plain_validator_function(
-            validate,
-            serialization=core_schema.plain_serializer_function_ser_schema(
-                serialize, when_used='always'
-            ),
-        )
+    @staticmethod
+    def serialize(value):
+        if isinstance(value, dict):
+            return {key: item.name for key, item in value.items()}
+        return value.name
 
 
 def get_validator(model: type[BaseModel], field_name: str) -> Validator | None:
-    """Extract a field's validator for UI introspection (config.py:80-90)."""
-    import typing
+    """Extract a field's validator for UI introspection (config.py:80-90).
 
-    hints = typing.get_type_hints(model, include_extras=True)
-    annotation = hints.get(field_name)
-    if annotation is None:
+    Uses get_type_hints (not raw __annotations__) so string annotations under
+    `from __future__ import annotations` still resolve.
+    """
+    annotation = get_type_hints(model, include_extras=True).get(field_name)
+    if get_origin(annotation) is not Annotated:
         return None
-    if get_origin(annotation) is Annotated:
-        for arg in get_args(annotation)[1:]:
-            if isinstance(arg, Validator):
-                return arg
-    return None
+    markers = [arg for arg in get_args(annotation)[1:] if isinstance(arg, Validator)]
+    return markers[0] if markers else None
 
 
 class ToneMapper(Enum):

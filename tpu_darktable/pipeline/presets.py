@@ -1,50 +1,56 @@
-"""Named processing presets (mirror of reference pipeline/presets.py:16-53)."""
+"""Named processing presets.
+
+The three preset value-sets are the reference's public surface
+(pipeline/presets.py:16-53) and must match it exactly; they are expressed
+here as a delta table over a shared base (denoise + bilateral + postprocess
++ vibrance 0.5, common to all three).
+"""
 
 from __future__ import annotations
 
 from .config import ImageProcessingSettings, ToneMapper
 
-
-def get_preset(name: str) -> ImageProcessingSettings:
-    if name not in presets:
-        raise ValueError(f'Unknown preset: {name}. Available: {list(presets.keys())}')
-    return presets[name]
-
-
-adaptive_aces = ImageProcessingSettings(
+_COMMON = dict(
     enable_denoise=True,
     enable_bilateral=True,
     postprocess=True,
-    tone_gamma=1.5,
-    tone_intensity=2.0,
-    light_adapt=0.8,
-    tone_mapping=ToneMapper.adaptive_aces,
     vibrance=0.5,
 )
 
-aces = ImageProcessingSettings(
-    enable_denoise=True,
-    enable_bilateral=True,
-    postprocess=True,
-    tone_gamma=2.2,
-    tone_intensity=1.0,
-    tone_mapping=ToneMapper.aces,
-    vibrance=0.5,
-)
-
-reinhard = ImageProcessingSettings(
-    enable_denoise=True,
-    enable_bilateral=True,
-    postprocess=True,
-    tone_gamma=1.0,
-    tone_intensity=2.5,
-    light_adapt=0.8,
-    tone_mapping=ToneMapper.reinhard,
-    vibrance=0.5,
-)
+_PER_PRESET = {
+    'aces': dict(
+        tone_gamma=2.2,
+        tone_intensity=1.0,
+        tone_mapping=ToneMapper.aces,
+    ),
+    'adaptive_aces': dict(
+        tone_gamma=1.5,
+        tone_intensity=2.0,
+        light_adapt=0.8,
+        tone_mapping=ToneMapper.adaptive_aces,
+    ),
+    'reinhard': dict(
+        tone_gamma=1.0,
+        tone_intensity=2.5,
+        light_adapt=0.8,
+        tone_mapping=ToneMapper.reinhard,
+    ),
+}
 
 presets: dict[str, ImageProcessingSettings] = {
-    'aces': aces,
-    'adaptive_aces': adaptive_aces,
-    'reinhard': reinhard,
+    name: ImageProcessingSettings(**_COMMON, **delta) for name, delta in _PER_PRESET.items()
 }
+
+# Module-level attributes kept for reference API parity.
+aces = presets['aces']
+adaptive_aces = presets['adaptive_aces']
+reinhard = presets['reinhard']
+
+
+def get_preset(name: str) -> ImageProcessingSettings:
+    try:
+        return presets[name]
+    except KeyError:
+        raise ValueError(
+            f'Unknown preset: {name}. Available: {list(presets)}'
+        ) from None
