@@ -12,6 +12,11 @@ collectives:
 - image metrics: psum of per-band masked sums + valid counts,
 - green-equilibration ratio: psum of per-band G1/G2 sums.
 
+The local-Laplacian stage is the one whose influence radius exceeds any
+halo (max_supp spans the frame): it all-gathers the core-band luminance
+into the full frame and computes the identical full-frame pyramid on each
+shard (exact, redundant compute — see _laplacian_sharded).
+
 Alignment requirements (asserted): band and halo multiples of 8 (stride-8
 statistics sampling and CFA phase), halo >= 64, and integer bilateral
 sigma_s dividing the window offsets so grid cells align globally.
@@ -126,6 +131,31 @@ def build_spatial_pipeline_fn(
         )
         return _color.modify_luminance(rgb, out)
 
+    def _laplacian_sharded(rgb, off, win):
+        """Local-Laplacian local contrast under row-band sharding.
+
+        The pyramid's influence radius (max_supp = 1 << (num_levels - 1),
+        laplacian.cu:415-418) spans the whole frame — no band halo covers it,
+        and num_levels itself depends on the full (W, H).  Exactness therefore
+        requires the full-frame pyramid: all-gather the core-band luminances
+        into the full frame on every shard, run the identical full-frame
+        laplacian (bit-equal to the unsharded program), and slice back this
+        shard's block.  Redundant compute across shards, but exact; the
+        laplacian is not in the default chain.
+        """
+        from ..ops import laplacian as _lap
+
+        lum = _color.compute_luminance(rgb)
+        lum_core = jax.lax.dynamic_slice(lum, (off, jnp.int32(0)), (band, width))
+        lum_full = jax.lax.all_gather(lum_core, axis_name, axis=0, tiled=True)
+        params = _lap.LaplacianParams(
+            sigma=settings.lap_sigma, shadows=settings.lap_shadows,
+            highlights=settings.lap_highlights, clarity=settings.lap_clarity,
+        )
+        lap_full = _lap.local_laplacian(lum_full, params)
+        lap_blk = jax.lax.dynamic_slice(lap_full, (win, jnp.int32(0)), (block, width))
+        return _color.modify_luminance(rgb, lap_blk)
+
     def _tonemap_block(rgb, metrics):
         params = _tonemap.TonemapParameters(
             settings.tone_gamma, settings.tone_intensity, settings.light_adapt, settings.vibrance
@@ -181,6 +211,8 @@ def build_spatial_pipeline_fn(
             rgb = _denoise_one(rgb)
         if settings.enable_bilateral:
             rgb = _bilateral_one(rgb)
+        if settings.enable_laplacian:
+            rgb = _laplacian_sharded(rgb, off, win)
 
         # global metrics via psum'd masked sums (color_adaption.cu semantics)
         sampled = rgb[::8, ::8, :].astype(jnp.float32)
