@@ -144,6 +144,160 @@ def test_histogram_display(raw_file):
     plt.close(fig)
 
 
+def test_histogram_window(raw_file):
+    """Persistent levels popup: channel toggles + saturation legend +
+    update_display on a new frame (reference histogram_window.py parity)."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+
+    from tpu_darktable.scripts.view_raw.histogram_window import HistogramWindow
+    from tpu_darktable.scripts.view_raw.pipeline_ui import PipelineController
+
+    path, settings = raw_file
+    c = PipelineController(settings, [path])
+    bayer = np.asarray(c.current_bayer())
+
+    win = HistogramWindow(bayer, settings.bayer_pattern)
+    assert win.is_open()
+    assert 'μ=' in win.hist_ax.get_title()
+    legend = win.hist_ax.get_legend()
+    assert legend is not None
+    assert any('% sat' in t.get_text() for t in legend.get_texts())
+
+    # toggle a channel off: legend loses that entry
+    win._on_channel_toggle('Red')
+    assert not win.channel_states['Red']
+    texts = [t.get_text() for t in win.hist_ax.get_legend().get_texts()]
+    assert not any(t.startswith('Red') for t in texts)
+
+    # refresh with a new frame keeps working
+    win.update_display(bayer * 0.5)
+    win.close()
+    assert not win.is_open()
+
+
+def test_jpeg_preview_window(raw_file):
+    """Persistent JPEG explorer: quality changes re-encode, PSNR/size
+    readout updates (reference jpeg_preview_window.py:10-31 parity)."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+
+    from tpu_darktable.scripts.view_raw.jpeg_preview_window import JpegPreviewWindow
+    from tpu_darktable.scripts.view_raw.pipeline_ui import PipelineController
+
+    path, settings = raw_file
+    c = PipelineController(settings, [path])
+
+    win = JpegPreviewWindow(c.process_current)
+    assert win.is_open()
+    first = win.info_text.get_text()
+    assert 'dB PSNR' in first and 'MB' in first
+
+    win.quality_slider.set_val(30)
+    assert win.jpeg_quality == 30
+    assert win.info_text.get_text() != first  # lower quality -> new readout
+
+    win._on_progressive_toggle('Progressive')
+    assert win.jpeg_progressive
+    win.close()
+    assert not win.is_open()
+
+
+def test_histogram_ui_component(raw_file):
+    """Embedded HistogramDisplay: mode switching preserves zoom scale."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from tpu_darktable.scripts.view_raw.histogram_ui import HistogramDisplay
+    from tpu_darktable.scripts.view_raw.pipeline_ui import PipelineController
+
+    path, settings = raw_file
+    c = PipelineController(settings, [path])
+    bayer = np.asarray(c.current_bayer())
+
+    fig = plt.figure()
+    disp = HistogramDisplay()
+    res = disp.setup_display(fig, (0.1, 0.1, 0.8, 0.8), bayer, settings.bayer_pattern)
+    assert 'μ=' in res.display_info and not res.needs_setup
+    assert disp.get_channel_controls() is not None
+
+    res = disp.update_display(bayer, settings.bayer_pattern, channel_mode='Red')
+    assert disp.channel_mode == 'Red' and not res.needs_setup
+
+    fresh = HistogramDisplay()
+    assert fresh.update_display(bayer, settings.bayer_pattern).needs_setup
+    plt.close(fig)
+
+
+def test_ui_builder_layout():
+    """VStack placement: rows advance downward, half panels pair up."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from tpu_darktable.scripts.view_raw.ui_builder import (
+        VStack, create_checkboxes, create_radio_buttons, fit_fontsize,
+    )
+
+    fig = plt.figure(figsize=(10, 8))
+    col = VStack(fig, x=0.7, top=0.95, width=0.26)
+    s1 = col.slider_ax()
+    s2 = col.slider_ax()
+    assert s2.get_position().y0 < s1.get_position().y0
+
+    left = col.panel_ax(3, half=1)
+    right = col.panel_ax(5, half=2)
+    assert abs(left.get_position().x0 - 0.7) < 1e-6
+    assert right.get_position().x0 > left.get_position().x0
+    after = col.take(0.03)
+    # the next row clears the taller (right) panel
+    assert after[1] + after[3] <= right.get_position().y0 + 1e-9
+
+    rb = create_radio_buttons(left, ['alpha', 'beta'], 'beta')
+    assert rb.value_selected == 'beta'
+    cb = create_checkboxes(right, ['one', 'two'], [True, False])
+    assert cb.get_status() == [True, False]
+    assert fit_fontsize(fig, ['short'], avail_fraction=0.5) == 8.0
+    plt.close(fig)
+
+
+def test_main_ui_constructs_and_refreshes(raw_file):
+    """The full ProcessRawUI builds headless, navigates, and keeps its
+    popups in sync with the current frame."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from tpu_darktable.scripts.view_raw.pipeline_ui import PipelineController
+    from tpu_darktable.scripts.view_raw.ui import ProcessRawUI
+
+    path, settings = raw_file
+    c = PipelineController(settings, [path])
+    ui = ProcessRawUI(c)
+    assert ui._im is not None
+
+    ui.show_histogram()
+    ui.show_jpeg_preview()
+    assert ui.histogram_window.is_open()
+    assert ui.jpeg_window.is_open()
+
+    before = ui.jpeg_window.info_text.get_text()
+    ui._nav(1)  # single file: wraps to itself, but must refresh popups
+    assert ui.histogram_window.is_open()
+    assert 'dB PSNR' in ui.jpeg_window.info_text.get_text()
+    assert before == ui.jpeg_window.info_text.get_text()  # same frame
+
+    ui.histogram_window.close()
+    ui.jpeg_window.close()
+    plt.close(ui.fig)
+
+
 def test_jpeg_utils_roundtrip(rng):
     from tpu_darktable.scripts.view_raw.jpeg_utils import (
         decode_jpeg_bytes, encode_jpeg_bytes, jpeg_psnr,

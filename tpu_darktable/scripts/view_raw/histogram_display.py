@@ -34,3 +34,48 @@ def draw_histograms(ax, bayer_image, pattern: BayerPattern, bins: int = 128,
     )
     ax.set_title('Bayer channel histograms')
     return sat
+
+
+def get_channel_means(bayer_image, pattern: BayerPattern):
+    """(r_mean, g_mean, b_mean) of the raw mosaic, greens pooled
+    (reference histogram_display.py:11-16)."""
+    ch = extract_bayer_channels(bayer_image, pattern)
+    g = np.concatenate([ch['G1'], ch['G2']]) if ch['G1'].size or ch['G2'].size else np.zeros(1)
+    return (
+        float(ch['R'].mean()) if ch['R'].size else 0.0,
+        float(g.mean()) if g.size else 0.0,
+        float(ch['B'].mean()) if ch['B'].size else 0.0,
+    )
+
+
+def draw_selective_histograms(ax, bayer_image, pattern: BayerPattern,
+                              channel_states: dict, bins: int = 256,
+                              saturation: float = 0.99):
+    """Filled per-channel histograms with toggleable channels and saturation
+    readout (reference histogram_display.py:66-115 semantics): saturated
+    samples (>= 0.99) are excluded from the bars and reported as a
+    percentage in each label; green counts are halved to offset the 2x
+    green sites per Bayer cell.  Returns {channel: saturation_pct}."""
+    ch = extract_bayer_channels(bayer_image, pattern)
+    merged = {
+        'Red': ch['R'],
+        'Green': np.concatenate([ch['G1'], ch['G2']]),
+        'Blue': ch['B'],
+    }
+    colors = {'Red': 'red', 'Green': 'green', 'Blue': 'blue'}
+    sat = {}
+    for name, vals in merged.items():
+        pct = 100.0 * float((vals >= saturation).mean()) if vals.size else 0.0
+        sat[name] = pct
+        if not channel_states.get(name, True):
+            continue
+        kept = vals[vals < saturation]
+        weights = np.full(kept.size, 0.5) if name == 'Green' else None
+        ax.hist(kept, bins=bins, range=(0.0, saturation), color=colors[name],
+                alpha=0.6, label=f'{name} ({pct:.1f}% sat)', weights=weights)
+    if any(channel_states.get(n, True) for n in merged):
+        ax.legend(fontsize=8)
+    ax.set_xlabel('Pixel value (excluding saturated)')
+    ax.set_ylabel('Count (normalized)')
+    ax.grid(True, alpha=0.3)
+    return sat

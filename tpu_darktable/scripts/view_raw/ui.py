@@ -1,8 +1,11 @@
 """Main viewer window: image display + generated settings widgets.
 
-Mirror of reference view_raw/ui.py:65-282 + ui_builder.py - a matplotlib
-window whose sliders / checkboxes / radio buttons are generated from the
-pydantic validator metadata and reprocess the frame on every change.
+Mirror of reference view_raw/ui.py:65-282 - a matplotlib window whose
+sliders / checkboxes / radio buttons are generated from the pydantic
+validator metadata (widget placement via ui_builder.VStack) and reprocess
+the frame on every change.  The histogram (levels) and JPEG-preview popups
+are persistent windows that refresh on navigation and settings changes
+(histogram_window.py / jpeg_preview_window.py).
 Keyboard: left/right = navigate, r = rotate, s = save JPEG, w = write
 settings, 0 = reset, h = histogram window, j = JPEG preview window.
 """
@@ -11,16 +14,16 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-
 from .pipeline_ui import (
     CHECKBOX_FIELDS,
     SLIDER_FIELDS,
     PipelineController,
     widget_spec,
 )
-from .histogram_display import draw_histograms
-from .jpeg_utils import decode_jpeg_bytes, encode_jpeg_bytes, jpeg_psnr
+from .histogram_window import HistogramWindow
+from .jpeg_preview_window import JpegPreviewWindow
+from .jpeg_utils import encode_jpeg_bytes
+from .ui_builder import VStack, create_checkboxes, create_radio_buttons
 
 
 class ProcessRawUI:
@@ -28,7 +31,7 @@ class ProcessRawUI:
 
     def __init__(self, controller: PipelineController):
         import matplotlib.pyplot as plt
-        from matplotlib.widgets import Button, CheckButtons, RadioButtons, Slider
+        from matplotlib.widgets import Button, Slider
 
         self.c = controller
         self.plt = plt
@@ -38,65 +41,66 @@ class ProcessRawUI:
         self.ax_img = self.fig.add_axes([0.02, 0.05, 0.64, 0.9])
         self.ax_img.axis('off')
 
-        x0, w = 0.70, 0.26
-        y = 0.92
+        col = VStack(self.fig, x=0.70, top=0.95, width=0.26)
+
         self.sliders = {}
         for field in SLIDER_FIELDS:
             kind, meta = widget_spec(field)
             if kind != 'slider':
                 continue
-            ax = self.fig.add_axes([x0 + 0.05, y, w - 0.05, 0.025])
+            ax = col.slider_ax()
             lo, hi = meta['range']
             s = Slider(ax, meta['label'], lo, hi,
                        valinit=getattr(self.c.settings, field))
             s.on_changed(self._make_slider_cb(field))
             self.sliders[field] = s
-            y -= 0.045
 
-        ax = self.fig.add_axes([x0, y - 0.11, w / 2, 0.12])
-        labels = CHECKBOX_FIELDS
-        actives = [bool(getattr(self.c.settings, f)) for f in labels]
-        self.checks = CheckButtons(ax, labels, actives)
-        self.checks.on_clicked(self._on_check)
-
-        ax = self.fig.add_axes([x0 + w / 2, y - 0.11, w / 2, 0.12])
-        from tpu_darktable.pipeline.config import Debayer
-
-        self.radio_debayer = RadioButtons(ax, [d.name for d in Debayer],
-                                          active=list(Debayer).index(self.c.settings.debayer))
-        self.radio_debayer.on_clicked(self._on_debayer)
-        y -= 0.16
-
-        ax = self.fig.add_axes([x0, y - 0.11, w / 2, 0.12])
-        from tpu_darktable.pipeline.config import ToneMapper
-
-        self.radio_tm = RadioButtons(ax, [t.name for t in ToneMapper],
-                                     active=list(ToneMapper).index(self.c.settings.tone_mapping))
-        self.radio_tm.on_clicked(self._on_tonemap)
-
-        ax = self.fig.add_axes([x0 + w / 2, y - 0.11, w / 2, 0.12])
+        from tpu_darktable.pipeline.config import Debayer, ToneMapper
         from tpu_darktable.pipeline.presets import presets
 
-        self.radio_preset = RadioButtons(ax, list(presets.keys()))
+        ax = col.panel_ax(len(CHECKBOX_FIELDS), half=1)
+        actives = [bool(getattr(self.c.settings, f)) for f in CHECKBOX_FIELDS]
+        self.checks = create_checkboxes(ax, CHECKBOX_FIELDS, actives)
+        self.checks.on_clicked(self._on_check)
+
+        ax = col.panel_ax(len(Debayer), half=2)
+        self.radio_debayer = create_radio_buttons(
+            ax, [d.name for d in Debayer], self.c.settings.debayer.name
+        )
+        self.radio_debayer.on_clicked(self._on_debayer)
+
+        ax = col.panel_ax(len(ToneMapper), half=1)
+        self.radio_tm = create_radio_buttons(
+            ax, [t.name for t in ToneMapper], self.c.settings.tone_mapping.name
+        )
+        self.radio_tm.on_clicked(self._on_tonemap)
+
+        ax = col.panel_ax(len(presets), half=2)
+        self.radio_preset = create_radio_buttons(ax, list(presets.keys()))
         self.radio_preset.on_clicked(self._on_preset)
-        y -= 0.16
 
         self.buttons = {}
-        for i, (label, cb) in enumerate([
+        actions = [
             ('prev', lambda e: self._nav(-1)),
             ('next', lambda e: self._nav(1)),
             ('rotate', lambda e: self._rotate()),
             ('save jpg', lambda e: self._save_jpeg()),
             ('save cfg', lambda e: self._save_settings()),
             ('reset', lambda e: self._reset()),
-        ]):
-            ax = self.fig.add_axes([x0 + (i % 3) * w / 3, y - 0.05 * (i // 3 + 1), w / 3, 0.04])
-            b = Button(ax, label)
-            b.on_clicked(cb)
-            self.buttons[label] = b
+            ('levels', lambda e: self.show_histogram()),
+            ('jpeg', lambda e: self.show_jpeg_preview()),
+        ]
+        for row_start in range(0, len(actions), 4):
+            row = actions[row_start : row_start + 4]
+            for ax, (label, cb) in zip(col.button_row(len(row)), row):
+                b = Button(ax, label)
+                b.on_clicked(cb)
+                self.buttons[label] = b
 
         self.fig.canvas.mpl_connect('key_press_event', self._on_key)
         self._im = None
+        self.histogram_window: HistogramWindow | None = None
+        self.jpeg_window: JpegPreviewWindow | None = None
         self.refresh()
 
     # -- callbacks ---------------------------------------------------------
@@ -171,7 +175,7 @@ class ProcessRawUI:
         elif event.key == 'j':
             self.show_jpeg_preview()
 
-    # -- windows -----------------------------------------------------------
+    # -- display + popup windows -------------------------------------------
     def refresh(self):
         img = self.c.process_current()
         if self._im is None or self._im.get_array().shape != img.shape:
@@ -185,39 +189,34 @@ class ProcessRawUI:
         )
         self.fig.canvas.draw_idle()
 
+        # Open popups follow the current frame / settings.
+        if self.histogram_window is not None and self.histogram_window.is_open():
+            self.histogram_window.update_display(
+                self.c.current_bayer(), self.c.camera_settings.bayer_pattern
+            )
+        if self.jpeg_window is not None and self.jpeg_window.is_open():
+            self.jpeg_window.update_display(img)
+
     def show_histogram(self):
-        """Bayer-channel histogram popup (reference histogram_window.py)."""
-        fig, ax = self.plt.subplots(figsize=(8, 5))
-        bayer = np.asarray(self.c.current_bayer())
-        draw_histograms(ax, bayer, self.c.camera_settings.bayer_pattern)
-        fig.show()
+        """Persistent Bayer-levels window (reference histogram_window.py)."""
+        if self.histogram_window is not None and self.histogram_window.is_open():
+            self.histogram_window.update_display(
+                self.c.current_bayer(), self.c.camera_settings.bayer_pattern
+            )
+        else:
+            self.histogram_window = HistogramWindow(
+                self.c.current_bayer(), self.c.camera_settings.bayer_pattern
+            )
+        self.histogram_window.show()
 
     def show_jpeg_preview(self):
-        """Quality explorer with PSNR + size readout
+        """Persistent quality explorer with PSNR + size readout
         (reference jpeg_preview_window.py:10-31)."""
-        from matplotlib.widgets import Slider
-
-        img = self.c.process_current()
-        fig = self.plt.figure(figsize=(9, 7))
-        ax_img = fig.add_axes([0.05, 0.15, 0.9, 0.8])
-        ax_img.axis('off')
-        ax_q = fig.add_axes([0.15, 0.05, 0.7, 0.03])
-        slider = Slider(ax_q, 'quality', 10, 100, valinit=94, valstep=1)
-        im = ax_img.imshow(img)
-
-        def update(q):
-            data = encode_jpeg_bytes(img, quality=int(q))
-            decoded = decode_jpeg_bytes(data)
-            im.set_data(decoded)
-            ax_img.set_title(
-                f'Q{int(q)}: {len(data) / 1024:.0f} KiB, '
-                f'PSNR {jpeg_psnr(img, decoded):.1f} dB'
-            )
-            fig.canvas.draw_idle()
-
-        slider.on_changed(update)
-        update(94)
-        fig.show()
+        if self.jpeg_window is not None and self.jpeg_window.is_open():
+            self.jpeg_window.update_display(self.c.process_current())
+        else:
+            self.jpeg_window = JpegPreviewWindow(self.c.process_current)
+        self.jpeg_window.show()
 
     def run(self):
         self.plt.show()
