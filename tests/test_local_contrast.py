@@ -1,6 +1,7 @@
 """Bilateral grid + local Laplacian behaviour tests."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpu_darktable.ops import bilateral, laplacian
@@ -8,7 +9,7 @@ from tpu_darktable.ops import bilateral, laplacian
 
 def test_bilateral_zero_detail_is_identity(rng):
     lum = rng.random((64, 64)).astype(np.float32)
-    out = np.asarray(bilateral.bilateral_process(jnp.asarray(lum), 2.0, 0.2, 0.0))
+    out = np.asarray(jax.jit(lambda x: bilateral.bilateral_process(x, 2.0, 0.2, 0.0))(jnp.asarray(lum)))
     np.testing.assert_allclose(out, lum, atol=1e-6)
 
 
@@ -25,7 +26,7 @@ def test_bilateral_enhances_contrast(rng):
     # step edge: detail boost should increase local contrast
     lum = np.full((64, 64), 0.4, dtype=np.float32)
     lum[:, 32:] = 0.6
-    out = np.asarray(bilateral.bilateral_process(jnp.asarray(lum), 4.0, 0.1, 0.5))
+    out = np.asarray(jax.jit(lambda x: bilateral.bilateral_process(x, 4.0, 0.1, 0.5))(jnp.asarray(lum)))
     assert np.isfinite(out).all()
     assert (out.max() - out.min()) > (0.2 - 1e-3)
 
@@ -35,7 +36,7 @@ def test_laplacian_identity_params(rng):
     # so the assembled pyramid reconstructs the input (modulo fp16 storage).
     lum = (rng.random((96, 128)) * 0.8 + 0.1).astype(np.float32)
     params = laplacian.LaplacianParams(sigma=0.2, shadows=1.0, highlights=1.0, clarity=0.0)
-    out = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), params))
+    out = np.asarray(jax.jit(lambda x: laplacian.local_laplacian(x, params))(jnp.asarray(lum)))
     np.testing.assert_allclose(out, lum, atol=5e-3)
 
 
@@ -43,7 +44,8 @@ def test_laplacian_identity_f32_storage(rng):
     lum = (rng.random((64, 64)) * 0.8 + 0.1).astype(np.float32)
     params = laplacian.LaplacianParams()
     out = np.asarray(
-        laplacian.local_laplacian(jnp.asarray(lum), params, storage_dtype=jnp.float32)
+        jax.jit(lambda x: laplacian.local_laplacian(x, params, storage_dtype=jnp.float32))(
+            jnp.asarray(lum))
     )
     np.testing.assert_allclose(out, lum, atol=1e-5)
 
@@ -52,8 +54,8 @@ def test_laplacian_clarity_changes_output(rng):
     lum = (rng.random((64, 64)) * 0.8 + 0.1).astype(np.float32)
     p0 = laplacian.LaplacianParams(clarity=0.0)
     p1 = laplacian.LaplacianParams(clarity=0.5)
-    out0 = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), p0))
-    out1 = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), p1))
+    out0 = np.asarray(jax.jit(lambda x: laplacian.local_laplacian(x, p0))(jnp.asarray(lum)))
+    out1 = np.asarray(jax.jit(lambda x: laplacian.local_laplacian(x, p1))(jnp.asarray(lum)))
     assert np.abs(out1 - out0).max() > 1e-3
 
 
@@ -69,9 +71,10 @@ def test_bilateral_fast_path_matches_gather_path(rng):
 
     lum = rng.random((64, 96)).astype(np.float32)
     for sigma_s in (2.0, 8.0):
-        out_fast = np.asarray(B.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4))
+        out_fast = np.asarray(jax.jit(lambda x: B.bilateral_process(x, sigma_s, 0.2, 0.4))(jnp.asarray(lum)))
         out_gen = np.asarray(
-            B.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4, _force_general=True)
+            jax.jit(lambda x: B.bilateral_process(x, sigma_s, 0.2, 0.4, _force_general=True))(
+                jnp.asarray(lum))
         )
         np.testing.assert_allclose(out_fast, out_gen, atol=1e-5)
 

@@ -6,6 +6,7 @@ on every pixel, borders included.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -115,7 +116,7 @@ def test_bilateral_matches_oracle(rng, sigma_s):
 
     lum = (rng.random((24, 28)) * 0.9).astype(np.float32)
     ref = oracles.bilateral_oracle(lum.astype(np.float64), sigma_s, 0.2, 0.4)
-    out = np.asarray(bilateral.bilateral_process(jnp.asarray(lum), sigma_s, 0.2, 0.4))
+    out = np.asarray(jax.jit(lambda x: bilateral.bilateral_process(x, sigma_s, 0.2, 0.4))(jnp.asarray(lum)))
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
@@ -125,6 +126,6 @@ def test_laplacian_matches_oracle(rng):
     lum = (rng.random((20, 24)) * 0.9 + 0.05).astype(np.float32)
     params = laplacian.LaplacianParams(sigma=0.2, shadows=0.6, highlights=1.4, clarity=0.3)
     ref = oracles.laplacian_oracle(lum.astype(np.float64), 6, 0.2, 0.6, 1.4, 0.3)
-    out = np.asarray(laplacian.local_laplacian(jnp.asarray(lum), params))
+    out = np.asarray(jax.jit(lambda x: laplacian.local_laplacian(x, params))(jnp.asarray(lum)))
     # fp16 storage in both; small accumulation-order differences remain
     np.testing.assert_allclose(out, ref, atol=2e-3)
