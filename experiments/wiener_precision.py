@@ -1,52 +1,57 @@
-"""Roofline check: is the Wiener stage MXU-bound, and what does precision buy?
+"""Measure Wiener precision-mix error (vs fp64 numpy oracle) and 12MP timing.
 
-Times wiener_denoise at 12MP C=3 under HIGH vs DEFAULT matmul precision and
-reports the error DEFAULT introduces vs the HIGH output.  Run alone on the
-chip (axon serializes processes silently).
+Usage: python experiments/wiener_precision.py [--time-only|--err-only]
+Error runs on whatever backend; timing needs the real TPU.
 """
 
 import sys
-import time
+from pathlib import Path
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent.parent / 'tests'))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu_darktable.ops.wiener import wiener_denoise
+from tpu_darktable.ops import wiener
 from tpu_darktable.utils.timing import benchmark_op
 
-H, W, C = 3000, 4096, 3
-rng = np.random.default_rng(0)
-x_np = (rng.random((H, W, C)) * 0.8 + 0.05 + rng.normal(0, 0.03, (H, W, C))).astype(np.float32)
-x_np = np.clip(x_np, 0, 1)
-x = jnp.asarray(x_np)
-sig = jnp.asarray([0.03, 0.03, 0.03], dtype=jnp.float32)
+P = jax.lax.Precision
+COMBOS = {
+    'HIGH/HIGH': (P.HIGH, P.HIGH),
+    'HIGH/DEFAULT': (P.HIGH, P.DEFAULT),
+    'DEFAULT/HIGH': (P.DEFAULT, P.HIGH),
+    'DEFAULT/DEFAULT': (P.DEFAULT, P.DEFAULT),
+}
 
-print('devices:', jax.devices(), flush=True)
 
-results = {}
-for name, prec in [('HIGH', jax.lax.Precision.HIGH),
-                   ('DEFAULT', jax.lax.Precision.DEFAULT),
-                   ('HIGHEST', jax.lax.Precision.HIGHEST)]:
-    fn = lambda im, p=prec: jnp.clip(wiener_denoise(im, sig, precision=p), 0.0, 1.0)
-    t0 = time.perf_counter()
-    ms = benchmark_op(fn, x, iters=8)
-    print(f'{name}: {ms:.2f} ms  (wall incl compile {time.perf_counter()-t0:.1f}s)', flush=True)
-    results[name] = np.asarray(jax.jit(fn)(x))
+def errs():
+    from test_wiener import _wiener_numpy_reference
 
-err_def = np.abs(results['DEFAULT'] - results['HIGHEST'])
-err_high = np.abs(results['HIGH'] - results['HIGHEST'])
-print(f'DEFAULT vs HIGHEST: max {err_def.max():.3e}  mean {err_def.mean():.3e}')
-print(f'HIGH    vs HIGHEST: max {err_high.max():.3e}  mean {err_high.mean():.3e}')
+    rng = np.random.default_rng(7)
+    img = rng.random((72, 88, 1)).astype(np.float32)
+    for k, ov in [(32, 4), (32, 2)]:
+        ref = _wiener_numpy_reference(img.astype(np.float64), 0.05, k, ov)
+        for name, combo in COMBOS.items():
+            out = np.asarray(jax.jit(
+                lambda x: wiener.wiener_denoise(x, 0.05, k, ov, precision=combo)
+            )(jnp.asarray(img)))
+            print(f'k={k} ov={ov} {name:16s} maxerr {np.abs(out - ref).max():.2e}')
 
-# MXU roofline for reference: tiles * 2 matmuls * K^2*(2R+1)*2 flops
-k = 32
-ov = 4
-stride = k // ov
-grid_h = (H + k + stride - 1) // stride + ov
-grid_w = (W + k + stride - 1) // stride + ov
-n_t = (-(-grid_h // ov) * ov) * (-(-grid_w // ov) * ov) * C
-flops = n_t * 2 * (k * k) * (k * k + 5) * 2
-print(f'matmul flops/call: {flops/1e12:.2f} Tflop')
+
+def times():
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((3000, 4096, 1)).astype(np.float32))
+    for ov in (4, 2):
+        for name, combo in COMBOS.items():
+            fn = lambda x: wiener.wiener_denoise(x, 0.05, 32, ov, precision=combo)
+            t = benchmark_op(fn, img, iters=4)
+            print(f'12MP c=1 ov={ov} {name:16s} {t * 1e3:8.1f} ms')
+
+
+if __name__ == '__main__':
+    if '--time-only' not in sys.argv:
+        errs()
+    if '--err-only' not in sys.argv:
+        times()

@@ -48,6 +48,19 @@ def test_get_validator_introspection():
     assert v.description == 'Gamma'
 
 
+def test_denoise_overlap_knob(rng):
+    """overlap=2 is a supported speed mode end-to-end (denoise.py:26-32)."""
+    assert ImageProcessingSettings().denoise_overlap == 4
+    h, w = 96, 128
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(denoise_overlap=2), white_balance=(1.2, 1.0, 1.1),
+    )
+    data, _ = _make_bytes(h, w, rng)
+    out = np.asarray(proc.process(jnp.asarray(data), 'x'))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+
+
 def test_presets():
     assert set(presets) == {'aces', 'adaptive_aces', 'reinhard'}
     assert get_preset('aces').tone_mapping == ToneMapper.aces

@@ -99,6 +99,134 @@ def _rdft2_basis(k: int) -> tuple[np.ndarray, np.ndarray, int]:
     return analysis.astype(np.float32), synthesis.astype(np.float32), r
 
 
+def _sep_bases(k: int, wf: np.ndarray, wi: np.ndarray):
+    """Bases for the separable windowed-DFT formulation (numpy, trace time).
+
+    The 2-D windowed DFT factorizes: X[u,v] = sum_j wf[j] e^{-ivj} *
+    (sum_i wf[i] e^{-iui} x[i,j]), so the fat (K^2 -> ~K^2/2) analysis
+    matmul becomes two K->K passes - ~12x fewer MXU FLOPs per tile.  Rows
+    u in [0, K/2] suffice (conjugate symmetry in u); the synthesis weights
+    rho_u in {1, 2} restore the dropped half.  The mean channel rides along
+    as channel 2U (box row basis, (wf*wi) synthesis bases).
+    """
+    u_count = k // 2 + 1
+    i = np.arange(k)
+    u = np.arange(u_count)
+    ang_u = 2.0 * np.pi * np.outer(i, u) / k  # (K, U)
+    # Row analysis: (K taps, 2U + 1 channels): [cos_u * wf | sin_u * wf | 1]
+    b_row = np.concatenate(
+        [np.cos(ang_u) * wf[:, None], np.sin(ang_u) * wf[:, None], np.ones((k, 1))],
+        axis=1,
+    )
+    v = np.arange(k)
+    ang_v = 2.0 * np.pi * np.outer(v, i) / k  # (V, J)
+    cos_c = (np.cos(ang_v) * wf[None, :]).T  # (J, V) analysis over columns
+    sin_c = (np.sin(ang_v) * wf[None, :]).T
+    cos_s = np.cos(ang_v) * wi[None, :]  # (V, J) synthesis over columns
+    sin_s = np.sin(ang_v) * wi[None, :]
+    # Spectrum of the analysis window (for the folded mean subtraction).
+    w2f = np.outer(wf, wf)
+    w_hat = np.fft.fft2(w2f)[:u_count, :]  # (U, K) complex
+    # Row synthesis: (2U + 1 channels, K rows): rho/K^2-weighted inverse.
+    rho = np.where((u == 0) | (u == k // 2), 1.0, 2.0) / (k * k)
+    row_cos = (np.cos(ang_u) * wi[:, None] * rho[None, :]).T  # (U, K)
+    row_sin = (-np.sin(ang_u) * wi[:, None] * rho[None, :]).T
+    b_row_syn = np.concatenate([row_cos, row_sin, (wf * wi)[None, :]], axis=0)
+    # Packed one-pass bases: analysis [cos | sin] (J, 2V); synthesis block
+    # [[cos, sin], [-sin, cos]] (2V, 2J) mapping [S_re; S_im] -> [T_re; T_im].
+    cs_c = np.concatenate([cos_c, sin_c], axis=1)
+    cs_s = np.block([[cos_s, sin_s], [-sin_s, cos_s]])
+    f32 = lambda a: jnp.asarray(a.astype(np.float32))
+    return dict(
+        u_count=u_count,
+        b_row=f32(b_row),
+        cs_c=f32(cs_c),
+        cs_s=f32(cs_s),
+        w_hat_re=f32(w_hat.real.copy()),
+        w_hat_im=f32(w_hat.imag.copy()),
+        b_row_syn=f32(b_row_syn),
+        wfwi=f32(wf * wi),
+    )
+
+
+def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s):
+    """Separable-DFT Wiener core on the reflect-padded image `xr`.
+
+    Grid/crop geometry is identical to the stacked-coset path: tile (gy, gx)
+    has top-left (gy - ov)*stride in image coords = (gy*stride, gx*stride)
+    in padded/accumulator coords.  Within row-coset p (gy = p + ov*r) tiles
+    are stride-K dense, so every stage is reshapes + K-contractions + ov^2
+    static shifted adds - no gathers, no scatters.
+    """
+    stride = k // ov
+    grid_h = (h + k + stride - 1) // stride + ov
+    grid_w = (w + k + stride - 1) // stride + ov
+    n_ty = -(-grid_h // ov)
+    n_tx = -(-grid_w // ov)
+    bb = _sep_bases(k, wf, wi)
+    uc = bb['u_count']
+
+    acc_h = (ov - 1) * stride + n_ty * k
+    acc_w = (ov - 1) * stride + n_tx * k
+    # xr covers [0, h + k + pad_hi); all coset windows stay inside it.
+    assert xr.shape[0] >= acc_h and xr.shape[1] >= acc_w, (xr.shape, acc_h, acc_w)
+
+    sig2 = (sigmas * sigmas).reshape(1, 1, 1, 1, 1, -1)
+
+    # ---- row analysis: ONE stacked window tensor + ONE einsum ----
+    # (per-HLO-op overhead dominates this backend: every stage is a single
+    # stacked op over all ov row/col cosets rather than ov separate chains)
+    win = jnp.stack([
+        xr[p * stride : p * stride + n_ty * k, :acc_w] for p in range(ov)
+    ]).reshape(ov, n_ty, k, acc_w, c)
+    rout = jnp.einsum('ptkwc,kf->ptwfc', win, bb['b_row'], precision=hp_a)
+
+    # ---- column analysis: packed [cos | sin] basis, one einsum ----
+    cwin = jnp.stack([
+        rout[:, :, q * stride : q * stride + n_tx * k] for q in range(ov)
+    ], axis=2).reshape(ov, n_ty, ov, n_tx, k, 2 * uc + 1, c)
+    both = jnp.einsum('ptqxjfc,jm->ptqxmfc', cwin, bb['cs_c'], precision=hp_a)
+    p_cos, p_sin = both[..., :k, :, :], both[..., k:, :, :]
+    re_x = p_cos[..., :uc, :] - p_sin[..., uc : 2 * uc, :]
+    im_x = -(p_sin[..., :uc, :] + p_cos[..., uc : 2 * uc, :])
+    mean = cwin[..., 2 * uc, :].sum(axis=4) / (k * k)  # (ov, n_ty, ov, n_tx, C)
+
+    # ---- mean-corrected spectral gain (denoise.cu:181-186) ----
+    m_b = mean[:, :, :, :, None, None, :]
+    w_re = bb['w_hat_re'].T[None, None, None, None, :, :, None]  # (V, U) view
+    w_im = bb['w_hat_im'].T[None, None, None, None, :, :, None]
+    re_t = re_x - m_b * w_re
+    im_t = im_x - m_b * w_im
+    power = re_t * re_t + im_t * im_t + _EPS
+    gain = jnp.maximum(power - sig2[..., None, :], 0.0) / power
+    # Pack [S_re | S_im] on the v axis for the one-pass column synthesis.
+    s_all = jnp.concatenate([re_t * gain, im_t * gain], axis=4)
+
+    # ---- column synthesis: block basis [[cos, sin], [-sin, cos]] ----
+    t_both = jnp.einsum('ptqxvfc,vm->ptqxmfc', s_all, bb['cs_s'], precision=hp_s)
+    t_re = t_both[..., :k, :, :]
+    t_im = t_both[..., k:, :, :]
+    t_mean = mean[..., None, :] * bb['wfwi'][None, None, None, None, :, None]
+    t_all = jnp.concatenate([t_re, t_im, t_mean[..., None, :]], axis=-2)
+
+    # ---- column overlap-add (ov static shifted adds, coset-dense) ----
+    cacc = jnp.zeros((ov, n_ty, acc_w, 2 * uc + 1, c), dtype=_F32)
+    for q in range(ov):
+        dense = t_all[:, :, q].reshape(ov, n_ty, n_tx * k, -1, c)
+        cacc = cacc.at[:, :, q * stride : q * stride + n_tx * k].add(dense)
+
+    # ---- row synthesis (one einsum) + row overlap-add ----
+    y = jnp.einsum('ptwfc,fk->ptkwc', cacc, bb['b_row_syn'], precision=hp_s)
+    out = jnp.zeros((acc_h, acc_w, c), dtype=_F32)
+    for p in range(ov):
+        out = out.at[p * stride : p * stride + n_ty * k].add(
+            y[p].reshape(n_ty * k, acc_w, c)
+        )
+
+    mask = mrow[:, None] * mcol[None, :]
+    return out[k : k + h, k : k + w] / (mask[k : k + h, k : k + w, None] + _EPS)
+
+
 def wiener_denoise(
     image,
     noise_sigmas,
@@ -108,6 +236,7 @@ def wiener_denoise(
     interp_scale: float = 0.3,
     precision=jax.lax.Precision.HIGH,
     use_pallas: bool | None = None,
+    use_separable: bool = True,
     _pallas_interpret: bool = False,
 ):
     """Wiener-filter an (H, W, C) image, C in {1, 3}.
@@ -117,9 +246,10 @@ def wiener_denoise(
         noise_sigmas: scalar or (C,) per-channel noise sigma.
         tile_size: K in {16, 32}.
         overlap_factor: 2, 4, or 8; tile stride = K / overlap_factor.
-        precision: MXU precision for the DFT matmuls.  HIGH emulates the
-            reference's fp32 cuFFT round trip (denoise.cu:181-220); DEFAULT
-            runs single-pass bf16 - measurably faster, bounded extra error.
+        precision: MXU precision for the DFT matmuls - one value for both,
+            or an (analysis, synthesis) pair.  HIGH emulates the reference's
+            fp32 cuFFT round trip (denoise.cu:181-220); DEFAULT runs
+            single-pass bf16 - measurably faster, bounded extra error.
         use_pallas: run the DFT->gain->IDFT core as one fused Pallas kernel
             (kernels/wiener_core.py).  Off by default: measured ~5% SLOWER
             than the XLA path on v5e (184.6 vs 174.7 ms, 12MP/3ch) - the
@@ -174,7 +304,7 @@ def wiener_denoise(
     mrow = jnp.asarray(_mask_1d(h_pad, grid_h))
     mcol = jnp.asarray(_mask_1d(w_pad, grid_w))
 
-    hp = precision
+    hp_a, hp_s = precision if isinstance(precision, tuple) else (precision, precision)
     analysis, synthesis, n_rep = _rdft2_basis(k)
     # Fold the analysis window and the per-tile mean into the bases:
     #   A @ ((t - m) * wf2) = (A*wf2) @ t - m * (A @ wf2)
@@ -216,6 +346,11 @@ def wiener_denoise(
     if use_pallas is None:
         use_pallas = False  # XLA path measured faster; see docstring
     use_pallas = use_pallas and fast and _wiener_tile_core is not None
+
+    if use_separable and fast and not use_pallas:
+        return _wiener_separable(
+            xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
+        )
 
     if use_pallas:
         # Fused Pallas core: channel-planar slabs stacked on the grid axis
@@ -287,7 +422,7 @@ def wiener_denoise(
 
         tiles = slabs.reshape(ov * ov, n_ty_max, k, n_tx_max, k, c)
         if c == 1:
-            raw = jnp.einsum('ruv,gaubv->gabr', ana3, tiles[..., 0], precision=hp)
+            raw = jnp.einsum('ruv,gaubv->gabr', ana3, tiles[..., 0], precision=hp_a)
             mean = raw[..., -1:]
             spec = raw[..., :-1] - mean * a0_j
             a_part = spec[..., :n_rep]
@@ -295,12 +430,12 @@ def wiener_denoise(
             power = a_part * a_part + b_part * b_part + _EPS
             gain = jnp.maximum(power - sig2[..., 0, :], 0.0) / power
             spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
-            y = jnp.einsum('ruv,gabr->gaubv', syn3, spec, precision=hp)
+            y = jnp.einsum('ruv,gabr->gaubv', syn3, spec, precision=hp_s)
             recon_all = (
                 y + mean[:, :, None, :, :] * mc_j[None, None, :, None, :]
             ).reshape(ov * ov, n_ty_max * k, n_tx_max * k, 1)
         else:
-            raw = jnp.einsum('ruv,gaubvc->gabcr', ana3, tiles, precision=hp)
+            raw = jnp.einsum('ruv,gaubvc->gabcr', ana3, tiles, precision=hp_a)
             mean = raw[..., -1:]
             spec = raw[..., :-1] - mean * a0_j
             a_part = spec[..., :n_rep]
@@ -308,7 +443,7 @@ def wiener_denoise(
             power = a_part * a_part + b_part * b_part + _EPS
             gain = jnp.maximum(power - sig2[None], 0.0) / power
             spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
-            y = jnp.einsum('ruv,gabcr->gaubvc', syn3, spec, precision=hp)
+            y = jnp.einsum('ruv,gabcr->gaubvc', syn3, spec, precision=hp_s)
             recon_all = (
                 y + mean[..., 0][:, :, None, :, None, :]
                 * mc_j[None, None, :, None, :, None]
@@ -346,7 +481,7 @@ def wiener_denoise(
                 slab = x[jnp.asarray(rows)][:, jnp.asarray(cols)]
                 tiles = slab.reshape(n_ty, k, n_tx, k, c)
 
-                raw = jnp.einsum('ruv,aubvc->abcr', ana3, tiles, precision=hp)
+                raw = jnp.einsum('ruv,aubvc->abcr', ana3, tiles, precision=hp_a)
                 mean = raw[..., -1:]
                 spec = raw[..., :-1] - mean * a0_j
                 a_part = spec[..., :n_rep]
@@ -354,7 +489,7 @@ def wiener_denoise(
                 power = a_part * a_part + b_part * b_part + _EPS
                 gain = jnp.maximum(power - sig2, 0.0) / power
                 spec = jnp.concatenate([a_part * gain, b_part * gain], axis=-1)
-                y = jnp.einsum('ruv,abcr->aubvc', syn3, spec, precision=hp)
+                y = jnp.einsum('ruv,abcr->aubvc', syn3, spec, precision=hp_s)
                 recon = (
                     y + mean[..., 0][:, None, :, None, :]
                     * mc_j[None, :, None, :, None]

@@ -93,7 +93,8 @@ def build_pipeline_fn(
         eps = 1e-4
         log_lum = _color.compute_log_luminance(rgb, eps=eps)
         den = _wiener.wiener_denoise(
-            log_lum[..., None], jnp.float32(settings.denoise), tile_size=32, overlap_factor=4
+            log_lum[..., None], jnp.float32(settings.denoise), tile_size=32,
+            overlap_factor=settings.denoise_overlap,
         )[..., 0]
         return _color.modify_log_luminance(rgb, den, eps=eps)
 
