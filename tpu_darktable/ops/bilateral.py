@@ -151,6 +151,10 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
     Returns the processed (H, W) luminance.
     """
     lum = jnp.asarray(luminance, dtype=_F32)
+    if lum.ndim != 2:
+        raise RuntimeError(
+            f'luminance must be a 2-D (H, W) plane, got shape {tuple(lum.shape)}'
+        )
     h, w = lum.shape
     gx, gy, gz = compute_grid_size(w, h, sigma_s, sigma_r)
 

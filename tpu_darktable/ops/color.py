@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .._validate import check_channels_last
+
 # D65 sRGB <-> XYZ matrices (csrc/device_color_conversions.h:26-30, :88-92)
 _RGB_TO_XYZ = np.array(
     [
@@ -66,8 +68,10 @@ def color_transform_3x3(color, matrix):
     would round operands to bfloat16 (breaking float32 parity) and is slower
     than fused VPU elementwise code anyway.
     """
-    color = jnp.asarray(color)
+    color = check_channels_last(jnp.asarray(color), 'color')
     m = jnp.asarray(matrix, dtype=color.dtype)
+    if tuple(m.shape) != (3, 3):
+        raise RuntimeError(f'matrix must have shape (3, 3), got {tuple(m.shape)}')
     c0, c1, c2 = color[..., 0], color[..., 1], color[..., 2]
     return jnp.stack(
         (
@@ -229,7 +233,7 @@ def rgb_to_lab_l(rgb):
 
 def compute_luminance(rgb):
     """(..., 3) -> (...) luminance = LAB L of clipped RGB (color_conversions.cu:170-174)."""
-    return rgb_to_lab_l(_clip01(jnp.asarray(rgb)))
+    return rgb_to_lab_l(_clip01(check_channels_last(jnp.asarray(rgb), 'rgb')))
 
 
 def compute_log_luminance(rgb, eps: float = 1e-6):
@@ -241,8 +245,15 @@ def compute_log_luminance(rgb, eps: float = 1e-6):
 def modify_luminance(rgb, new_luminance):
     """Replace LAB L with `new_luminance` via LAB round-trip
     (device_color_conversions.h:179-183)."""
+    rgb = check_channels_last(jnp.asarray(rgb), 'rgb')
+    new_luminance = jnp.asarray(new_luminance)
+    if new_luminance.shape != rgb.shape[:-1]:
+        raise RuntimeError(
+            f'new_luminance shape {tuple(new_luminance.shape)} must match '
+            f'rgb leading dims {tuple(rgb.shape[:-1])}'
+        )
     lab = rgb_to_lab(rgb)
-    lab = jnp.concatenate((jnp.asarray(new_luminance)[..., None], lab[..., 1:]), axis=-1)
+    lab = jnp.concatenate((new_luminance[..., None], lab[..., 1:]), axis=-1)
     return _clip01(lab_to_rgb(lab))
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .._validate import as_mosaic
 from .bayer import BayerPattern, fc, fc_tile, pixel_order
 from ._stencil import Shifter, interior_mask, row_col_iota, site_masks, tile2x2_map
 
@@ -94,9 +95,7 @@ def bilinear5x5_demosaic(image, pattern: BayerPattern):
     Returns:
         (H, W, 3) RGB.
     """
-    x = jnp.asarray(image, dtype=_F32)
-    if x.ndim == 3:
-        x = x[..., 0]
+    x = as_mosaic(image, 'image', dtype=_F32)
     h, w = x.shape
     s = Shifter(x, 2, mode='edge')  # clamp-to-edge sampling (bilinear.cu:90)
 
@@ -130,9 +129,7 @@ def border_interpolate(image, pattern: BayerPattern, border: int):
     are also valid averages (the reference leaves interior untouched and the
     caller overwrites it).
     """
-    x = jnp.asarray(image, dtype=_F32)
-    if x.ndim == 3:
-        x = x[..., 0]
+    x = as_mosaic(image, 'image', dtype=_F32)
     h, w = x.shape
     pos = jnp.maximum(x, 0.0)
     masks = _code_masks(h, w, pattern)
@@ -210,9 +207,7 @@ def pre_median(image, pattern: BayerPattern, threshold: float):
     `threshold` is the already-scaled value (the caller divides by 100, see
     ppg.cu:449).
     """
-    x = jnp.asarray(image, dtype=_F32)
-    if x.ndim == 3:
-        x = x[..., 0]
+    x = as_mosaic(image, 'image', dtype=_F32)
     h, w = x.shape
     s = Shifter(x, 2, mode='constant')
     center = s(0, 0)
@@ -258,9 +253,7 @@ def ppg_green(image, pattern: BayerPattern, clamp_input: bool = False):
     replicates the fmaxf(0, .) tile loads of rcd_border_green (rcd.cu:320)
     vs. the raw loads of ppg_demosaic_green (ppg.cu:158).
     """
-    x = jnp.asarray(image, dtype=_F32)
-    if x.ndim == 3:
-        x = x[..., 0]
+    x = as_mosaic(image, 'image', dtype=_F32)
     if clamp_input:
         x = jnp.maximum(x, 0.0)
     h, w = x.shape
@@ -371,9 +364,7 @@ def ppg_demosaic(image, pattern: BayerPattern, median_threshold: float = 0.0):
     Returns:
         (H, W, 3) RGB.
     """
-    x = jnp.asarray(image, dtype=_F32)
-    if x.ndim == 3:
-        x = x[..., 0]
+    x = as_mosaic(image, 'image', dtype=_F32)
     h, w = x.shape
 
     src = x

@@ -124,6 +124,10 @@ def local_laplacian(
     shrinking the padded working set substantially at large sizes.
     """
     x = jnp.asarray(mono, dtype=_F32)
+    if x.ndim != 2:
+        raise RuntimeError(
+            f'mono must be a 2-D (H, W) plane, got shape {tuple(x.shape)}'
+        )
     h, w = x.shape
     ng = params.num_gamma
     sigma, shadows = params.sigma, params.shadows

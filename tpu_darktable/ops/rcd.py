@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .._validate import as_mosaic
 from .bayer import BayerPattern
 from .demosaic import border_interpolate, ppg_green, ppg_redblue
 from ._stencil import Shifter, interior_mask, row_col_iota, site_masks
@@ -75,9 +76,7 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     Returns:
         (H, W, 3) RGB.
     """
-    x = jnp.asarray(image, dtype=_F32)
-    if x.ndim == 3:
-        x = x[..., 0]
+    x = as_mosaic(image, 'image', dtype=_F32)
     h, w = x.shape
     if h % 2 or w % 2:
         raise ValueError(f'RCD requires even dimensions, got {h}x{w}')

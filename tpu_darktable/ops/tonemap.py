@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .color import modify_vibrance, rgb_to_gray
+from .._validate import check_channels_last
 
 
 @dataclass(frozen=True)
@@ -31,10 +32,17 @@ class TonemapParameters:
 def _as_batch(images):
     """list of (H, W, 3) or (..., H, W, 3) array -> (B, H, W, 3)."""
     if isinstance(images, (list, tuple)):
-        return jnp.stack([jnp.asarray(im) for im in images])
-    arr = jnp.asarray(images)
+        arr = jnp.stack([
+            check_channels_last(jnp.asarray(im), 'images[i]') for im in images
+        ])
+    else:
+        arr = check_channels_last(jnp.asarray(images), 'images')
     if arr.ndim == 3:
         arr = arr[None]
+    elif arr.ndim < 3:
+        raise RuntimeError(
+            f'images must be (H, W, 3) or batched, got shape {tuple(arr.shape)}'
+        )
     return arr.reshape((-1,) + arr.shape[-3:])
 
 
@@ -122,7 +130,7 @@ def _finish(tonemapped, gamma, vibrance):
 
 def reinhard_tonemap(image, metrics, params: TonemapParameters):
     """Adaptive Reinhard rgb/(adapt+rgb) (tonemap/reinhard.cu:17-45)."""
-    rgb = jnp.asarray(image, dtype=jnp.float32)
+    rgb = check_channels_last(jnp.asarray(image, dtype=jnp.float32), 'image')
     adapt = _compute_adaptation(metrics, rgb, params.light_adapt, params.intensity)
     tonemapped = rgb / (adapt + rgb)
     return _finish(tonemapped, params.gamma, params.vibrance)
@@ -130,7 +138,7 @@ def reinhard_tonemap(image, metrics, params: TonemapParameters):
 
 def linear_tonemap(image, metrics, params: TonemapParameters):
     """Adaptive linear rgb/adapt with clamp (tonemap/linear.cu:13-40)."""
-    rgb = jnp.asarray(image, dtype=jnp.float32)
+    rgb = check_channels_last(jnp.asarray(image, dtype=jnp.float32), 'image')
     adapt = _compute_adaptation(metrics, rgb, params.light_adapt, params.intensity)
     tonemapped = rgb / adapt
     gamma_corrected = jnp.power(jnp.maximum(tonemapped, 0.0), 1.0 / params.gamma)
@@ -176,7 +184,7 @@ def aces_tonemap(image, params: TonemapParameters, metrics=None):
     """ACES tonemap; plain (exposure = 2^intensity, aces.cu:67-89) or adaptive
     when metrics given (aces.cu:37-63).  Matches reference tonemap.py:110-131
     dispatch."""
-    rgb = jnp.asarray(image, dtype=jnp.float32)
+    rgb = check_channels_last(jnp.asarray(image, dtype=jnp.float32), 'image')
     if metrics is None:
         tonemapped = _aces_curve(rgb * jnp.power(jnp.float32(2.0), jnp.float32(params.intensity)))
     else:
@@ -205,7 +213,7 @@ def filmic_tonemap(image, params: TonemapParameters, metrics=None):
     """Filmic tonemap (Hable curve): plain with exposure = 2^intensity, or
     adaptive when metrics are given.  A new capability beyond the reference
     (BASELINE.json config 4 names Reinhard/filmic/ACES curves)."""
-    rgb = jnp.asarray(image, dtype=jnp.float32)
+    rgb = check_channels_last(jnp.asarray(image, dtype=jnp.float32), 'image')
     if metrics is None:
         tonemapped = _filmic_curve(rgb * jnp.power(jnp.float32(2.0), jnp.float32(params.intensity)))
     else:

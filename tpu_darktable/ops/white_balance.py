@@ -39,7 +39,14 @@ def apply_white_balance(bayer_image, gains, pattern: BayerPattern):
         White-balanced mosaic, same shape.
     """
     bayer_image = jnp.asarray(bayer_image)
+    if bayer_image.ndim < 2:
+        raise RuntimeError(
+            f'bayer_image must have at least 2 dimensions (..., H, W), '
+            f'got shape {tuple(bayer_image.shape)}'
+        )
     gains = jnp.asarray(gains, dtype=bayer_image.dtype)
+    if tuple(gains.shape) != (3,):
+        raise RuntimeError(f'gains must have shape (3,), got {tuple(gains.shape)}')
     tile = _gain_tile(pattern)
     g = gains[jnp.asarray(tile)]  # (2, 2) traced gains by CFA site
     # Row/column-parity selects over broadcasted iotas: lane-parallel VPU

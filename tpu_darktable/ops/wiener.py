@@ -264,6 +264,11 @@ def wiener_denoise(
     x = jnp.asarray(image, dtype=_F32)
     if x.ndim == 2:
         x = x[..., None]
+    if x.ndim != 3 or x.shape[-1] not in (1, 3):
+        raise RuntimeError(
+            f'image must be (H, W) or (H, W, C) with C in {{1, 3}}, '
+            f'got shape {tuple(jnp.asarray(image).shape)}'
+        )
     h, w, c = x.shape
     k = tile_size
     if k not in (16, 32):
