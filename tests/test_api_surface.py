@@ -67,3 +67,36 @@ def test_extension_unknown_attribute():
         assert 'definitely_not_a_thing' in str(e)
     else:
         raise AssertionError('expected AttributeError')
+
+
+def test_typed_stub_matches_runtime():
+    """Every name declared in extension.pyi resolves at runtime, and the
+    package ships a py.typed marker (reference: the hand-written
+    torch_darktable_extension.pyi:1-203 IDE-checkable surface)."""
+    import ast
+    from pathlib import Path
+
+    pkg = Path(td.__file__).parent
+    assert (pkg / 'py.typed').exists()
+    stub = ast.parse((pkg / 'extension.pyi').read_text())
+    declared = []
+    for node in stub.body:
+        if isinstance(node, (ast.ClassDef, ast.FunctionDef)):
+            declared.append(node.name)
+        elif isinstance(node, ast.Assign):
+            declared.extend(t.id for t in node.targets if isinstance(t, ast.Name))
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            declared.append(node.target.id)
+    declared = [n for n in declared if n not in {'Array', 'ArrayLike'}]
+    assert len(declared) > 50, f'stub suspiciously small: {len(declared)} names'
+    missing = [n for n in declared if not hasattr(extension, n)]
+    assert not missing, missing
+
+    # Spot-check stubbed method lists against the real classes.
+    for cls_name in ('Wiener', 'Bilateral', 'PPG', 'Jpeg'):
+        node = next(n for n in stub.body
+                    if isinstance(n, ast.ClassDef) and n.name == cls_name)
+        cls = getattr(td, cls_name)
+        for item in node.body:
+            if isinstance(item, ast.FunctionDef):
+                assert hasattr(cls, item.name), (cls_name, item.name)

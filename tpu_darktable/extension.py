@@ -30,8 +30,10 @@ def __getattr__(name: str):
     except AttributeError:
         pass
     # functions the binding exports but the reference keeps submodule-level
-    # in Python (e.g. adaptive_aces_tonemap, extension.cpp:160)
-    for sub in (tpu_darktable.tonemap, tpu_darktable.color_conversion):
+    # in Python (e.g. adaptive_aces_tonemap extension.cpp:160,
+    # create_wiener extension.cpp:178)
+    for sub in (tpu_darktable.tonemap, tpu_darktable.color_conversion,
+                tpu_darktable.denoise, tpu_darktable.debayer):
         if hasattr(sub, name):
             return getattr(sub, name)
     raise AttributeError(
