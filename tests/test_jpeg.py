@@ -125,3 +125,51 @@ def test_optimal_huffman_valid():
                 assert (c2 >> (l2 - l1)) != c1
             else:
                 assert (c1 >> (l1 - l2)) != c2
+
+
+@pytest.mark.parametrize('subsampling', [0, 1, 2])
+def test_restart_markers_decode_identical(subsampling):
+    """Restart-interval scan (thread-parallel C++ path) decodes to the same
+    pixels as the serial scan and carries a DRI segment (T.81 B.2.4.4,
+    reference nvJPEG per-MCU-row parallelism jpeg_encoder.cu:117-148)."""
+    img = _test_image(80, 96)
+    base = jpeg_ops.encode_jpeg(img, 90, 3, subsampling, restart_interval=0)
+    rst = jpeg_ops.encode_jpeg(img, 90, 3, subsampling, restart_interval=5)
+    assert b'\xff\xdd' not in base.tobytes()[:800]
+    assert b'\xff\xdd' in rst.tobytes()[:800]
+    d0 = np.asarray(Image.open(io.BytesIO(base.tobytes())).convert('RGB'))
+    d1 = np.asarray(Image.open(io.BytesIO(rst.tobytes())).convert('RGB'))
+    np.testing.assert_array_equal(d0, d1)
+
+
+def test_restart_thread_count_invariant():
+    from tpu_darktable.native import get_lib, jpeg_encode_baseline_native
+    from tpu_darktable.ops.jpeg import _HUFF
+
+    if get_lib() is None:
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(11)
+    blocks = np.zeros((240, 64), np.int16)
+    blocks[:, 0] = rng.integers(-200, 200, 240)
+    blocks[rng.integers(0, 240, 900), rng.integers(1, 64, 900)] = \
+        rng.integers(-40, 40, 900).astype(np.int16)
+    tables = (
+        (_HUFF[('dc', 0)][0], _HUFF[('dc', 0)][1],
+         _HUFF[('ac', 0)][0], _HUFF[('ac', 0)][1]),
+        (_HUFF[('dc', 1)][0], _HUFF[('dc', 1)][1],
+         _HUFF[('ac', 1)][0], _HUFF[('ac', 1)][1]),
+    )
+    outs = [
+        jpeg_encode_baseline_native([blocks], 2, tables,
+                                    restart_interval=16, n_threads=nt)
+        for nt in (1, 2, 5, 0)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
+
+
+def test_restart_auto_threshold():
+    """Auto mode stays off for small images (no DRI) and keeps decoding."""
+    img = _test_image(64, 64)
+    data = jpeg_ops.encode_jpeg(img, 90, 3, 1)  # restart_interval=None (auto)
+    assert b'\xff\xdd' not in data.tobytes()[:800]

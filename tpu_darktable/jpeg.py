@@ -40,6 +40,7 @@ class Jpeg:
         input_format: InputFormat = InputFormat.RGBI,
         subsampling: Subsampling = Subsampling.CSS_422,
         progressive: bool = False,
+        restart_interval: int | None = None,
     ):
         return encode_jpeg(
             image,
@@ -47,6 +48,7 @@ class Jpeg:
             input_format=int(input_format),
             subsampling=int(subsampling),
             progressive=progressive,
+            restart_interval=restart_interval,
         )
 
 

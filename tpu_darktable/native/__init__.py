@@ -28,7 +28,7 @@ def _build_lib() -> Path | None:
         return lib_path
     with tempfile.NamedTemporaryFile(suffix='.so', dir=cache_dir, delete=False) as tmp:
         tmp_path = Path(tmp.name)
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-o', str(tmp_path), str(src)]
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-pthread', '-o', str(tmp_path), str(src)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         tmp_path.replace(lib_path)
@@ -75,6 +75,15 @@ def get_lib():
             u32p, u8p, u32p, u8p, u32p, u8p, u32p, u8p,
             u8p, ctypes.c_longlong,
         ]
+        lib.jpeg_encode_baseline_rst.restype = ctypes.c_longlong
+        lib.jpeg_encode_baseline_rst.argtypes = [
+            i16p, ctypes.c_longlong,
+            i16p, i16p, ctypes.c_longlong,
+            ctypes.c_int,
+            u32p, u8p, u32p, u8p, u32p, u8p, u32p, u8p,
+            ctypes.c_longlong, ctypes.c_int,
+            u8p, ctypes.c_longlong,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -104,11 +113,18 @@ def pack_bits(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return _pack_bits_numpy(codes, lengths)
 
 
-def jpeg_encode_baseline_native(comp_blocks, subsampling: int, tables) -> np.ndarray | None:
+def jpeg_encode_baseline_native(
+    comp_blocks, subsampling: int, tables,
+    restart_interval: int = 0, n_threads: int = 0,
+) -> np.ndarray | None:
     """Single-pass C++ baseline entropy scan; None if the library is missing.
 
     comp_blocks: list of (n, 64) int16 zigzag coefficient arrays (1 or 3).
     tables: ((dc0c, dc0l, ac0c, ac0l), (dc1c, dc1l, ac1c, ac1l)).
+    restart_interval: MCUs per restart interval; > 0 switches to the
+        thread-parallel scan joined with RSTn markers (byte-identical for
+        any n_threads).  The caller must emit a matching DRI segment.
+    n_threads: worker threads for the restart path (0 = hardware count).
     """
     import ctypes
 
@@ -139,13 +155,23 @@ def jpeg_encode_baseline_native(comp_blocks, subsampling: int, tables) -> np.nda
         a = np.ascontiguousarray(arr, dtype=np.uint32 if typ is u32p else np.uint8)
         args.append((a, a.ctypes.data_as(typ)))  # keep refs alive
 
-    cap = int((ny + 2 * nc) * 64 * 4 + 4096)
+    n_mcu = ny if nc == 0 else (nc if subsampling == 1 else ny)
+    n_iv = (n_mcu + restart_interval - 1) // restart_interval if restart_interval else 1
+    cap = int((ny + 2 * nc) * 64 * 4 + 4096 + 2 * n_iv)
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.jpeg_encode_baseline(
-        yb.ctypes.data_as(i16p), ny, cb_ptr, cr_ptr, nc, subsampling,
-        *(p for _, p in args),
-        out.ctypes.data_as(u8p), cap,
-    )
+    if restart_interval > 0:
+        n = lib.jpeg_encode_baseline_rst(
+            yb.ctypes.data_as(i16p), ny, cb_ptr, cr_ptr, nc, subsampling,
+            *(p for _, p in args),
+            restart_interval, n_threads,
+            out.ctypes.data_as(u8p), cap,
+        )
+    else:
+        n = lib.jpeg_encode_baseline(
+            yb.ctypes.data_as(i16p), ny, cb_ptr, cr_ptr, nc, subsampling,
+            *(p for _, p in args),
+            out.ctypes.data_as(u8p), cap,
+        )
     if n < 0:
         return None
     return out[:n]

@@ -8,6 +8,9 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -191,6 +194,112 @@ long long jpeg_encode_baseline(
     }
     bw.finish();
     return bw.overflow ? -1 : bw.written;
+}
+
+// Restart-interval parallel baseline scan (the on-GPU per-MCU-row entropy
+// parallelism of the reference's nvJPEG, csrc/jpeg_encoder.cu:117-148,
+// mapped to host threads).  The scan is split into intervals of
+// `restart_interval` MCUs; each interval byte-aligns independently and DC
+// predictors reset at its start, so intervals encode in parallel and are
+// joined with RSTn markers (T.81 section B.2.1.2: marker index cycles 0-7).
+// Output is byte-identical regardless of thread count.  Returns bytes
+// written or -1 on overflow.
+long long jpeg_encode_baseline_rst(
+    const int16_t* yb, long long ny,
+    const int16_t* cbb, const int16_t* crb, long long nc,
+    int subsampling,
+    const uint32_t* dc0c, const uint8_t* dc0l,
+    const uint32_t* ac0c, const uint8_t* ac0l,
+    const uint32_t* dc1c, const uint8_t* dc1l,
+    const uint32_t* ac1c, const uint8_t* ac1l,
+    long long restart_interval,
+    int n_threads,
+    uint8_t* out, long long cap)
+{
+    const bool gray = (cbb == nullptr);
+    const long long n_mcu = gray ? ny : (subsampling == 1 ? nc : ny);
+    if (restart_interval <= 0) restart_interval = n_mcu;
+    const long long n_iv = (n_mcu + restart_interval - 1) / restart_interval;
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    if ((long long)n_threads > n_iv) n_threads = (int)n_iv;
+    if (n_threads < 1) n_threads = 1;
+
+    std::vector<std::vector<uint8_t>> slabs(n_threads);
+    std::vector<std::vector<long long>> sizes(n_threads);
+
+    auto encode_mcu = [&](BitWriter& bw, long long m,
+                          int& py, int& pcb, int& pcr) {
+        if (gray) {
+            encode_block(bw, yb + m * 64, py, dc0c, dc0l, ac0c, ac0l);
+        } else if (subsampling == 1) {
+            encode_block(bw, yb + (2 * m) * 64, py, dc0c, dc0l, ac0c, ac0l);
+            encode_block(bw, yb + (2 * m + 1) * 64, py, dc0c, dc0l, ac0c, ac0l);
+            encode_block(bw, cbb + m * 64, pcb, dc1c, dc1l, ac1c, ac1l);
+            encode_block(bw, crb + m * 64, pcr, dc1c, dc1l, ac1c, ac1l);
+        } else {
+            encode_block(bw, yb + m * 64, py, dc0c, dc0l, ac0c, ac0l);
+            encode_block(bw, cbb + m * 64, pcb, dc1c, dc1l, ac1c, ac1l);
+            encode_block(bw, crb + m * 64, pcr, dc1c, dc1l, ac1c, ac1l);
+        }
+    };
+
+    auto worker = [&](int t) {
+        const long long iv_lo = n_iv * t / n_threads;
+        const long long iv_hi = n_iv * (t + 1) / n_threads;
+        // Worst case ~4 bytes/coefficient after stuffing; grow as needed.
+        std::vector<uint8_t>& slab = slabs[t];
+        slab.resize(4096);
+        long long used = 0;
+        for (long long iv = iv_lo; iv < iv_hi; ++iv) {
+            const long long m_lo = iv * restart_interval;
+            const long long m_hi =
+                (m_lo + restart_interval < n_mcu) ? m_lo + restart_interval : n_mcu;
+            const long long blocks =
+                (m_hi - m_lo) * (gray ? 1 : (subsampling == 1 ? 4 : 3));
+            const long long need = used + blocks * 64 * 4 + 4096;
+            if ((long long)slab.size() < need) slab.resize(need);
+            BitWriter bw{slab.data() + used, (long long)slab.size() - used};
+            int py = 0, pcb = 0, pcr = 0;
+            for (long long m = m_lo; m < m_hi; ++m)
+                encode_mcu(bw, m, py, pcb, pcr);
+            bw.finish();
+            if (bw.overflow) { sizes[t].clear(); return; }
+            sizes[t].push_back(bw.written);
+            used += bw.written;
+        }
+    };
+
+    if (n_threads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(n_threads);
+        for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
+        for (auto& th : pool) th.join();
+    }
+
+    long long written = 0;
+    long long iv_global = 0;
+    for (int t = 0; t < n_threads; ++t) {
+        const long long iv_lo = n_iv * t / n_threads;
+        const long long iv_hi = n_iv * (t + 1) / n_threads;
+        if ((long long)sizes[t].size() != iv_hi - iv_lo) return -1;  // overflow
+        long long off = 0;
+        for (long long sz : sizes[t]) {
+            if (written + sz + 2 > cap) return -1;
+            std::memcpy(out + written, slabs[t].data() + off, (size_t)sz);
+            written += sz;
+            off += sz;
+            if (iv_global + 1 < n_iv) {  // RSTn between intervals, not after last
+                out[written++] = 0xFF;
+                out[written++] = (uint8_t)(0xD0 + (iv_global % 8));
+            }
+            ++iv_global;
+        }
+    }
+    return written;
 }
 
 }  // extern "C"

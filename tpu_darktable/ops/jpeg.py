@@ -430,7 +430,8 @@ def _encode_progressive(comp_blocks, h, w, qy, qc, subsampling: int) -> np.ndarr
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
-def _build_headers(h, w, qy, qc, subsampling: int, n_comp: int) -> bytes:
+def _build_headers(h, w, qy, qc, subsampling: int, n_comp: int,
+                   restart_interval: int = 0) -> bytes:
     out = bytearray()
     out += b'\xff\xd8'  # SOI
     out += b'\xff\xe0' + _u16(16) + b'JFIF\x00\x01\x01\x00' + _u16(1) + _u16(1) + b'\x00\x00'
@@ -464,6 +465,9 @@ def _build_headers(h, w, qy, qc, subsampling: int, n_comp: int) -> bytes:
         out += _dht(_DC_CHROMA_BITS, _DC_CHROMA_VALS, 0, 1)
         out += _dht(_AC_CHROMA_BITS, _AC_CHROMA_VALS, 1, 1)
 
+    if restart_interval > 0:  # DRI (T.81 B.2.4.4)
+        out += b'\xff\xdd' + _u16(4) + _u16(restart_interval)
+
     # SOS
     out += b'\xff\xda' + _u16(6 + 2 * n_comp) + bytes([n_comp])
     if n_comp == 1:
@@ -480,6 +484,7 @@ def encode_jpeg(
     input_format: int = 3,
     subsampling: int = 1,
     progressive: bool = False,
+    restart_interval: int | None = None,
 ) -> np.ndarray:
     """Encode a uint8 image to a baseline JFIF bitstream.
 
@@ -491,6 +496,10 @@ def encode_jpeg(
         subsampling: 0=444, 1=422, 2=GRAY (csrc/jpeg_encoder.h:13-17).
         progressive: spectral-selection progressive with optimized Huffman
             (matching the reference's nvJPEG configuration).
+        restart_interval: MCUs per restart interval.  None = auto (one MCU
+            row on large images - the entropy scan then parallelizes across
+            host threads, the role per-MCU-row parallelism plays inside
+            nvJPEG, jpeg_encoder.cu:117-148); 0 = off; > 0 = explicit.
 
     Returns:
         numpy uint8 bitstream.
@@ -525,13 +534,27 @@ def encode_jpeg(
     # Fast path: single-pass C++ entropy scan (the nvJPEG-entropy analog).
     from ..native import jpeg_encode_baseline_native
 
+    mcu_w = 16 if (subsampling == 1 and n_comp == 3) else 8
+    mcus_per_row = (w + mcu_w - 1) // mcu_w
+    n_mcu = comp_blocks[1].shape[0] if (subsampling == 1 and n_comp == 3) \
+        else comp_blocks[0].shape[0]
+    if restart_interval is None:
+        # Auto: one MCU row per interval once the image is big enough for
+        # thread parallelism to pay (the DRI/RST overhead is ~2 bytes/row).
+        restart_interval = mcus_per_row if n_mcu >= 4096 else 0
+    restart_interval = int(restart_interval)
+    if restart_interval > 65535:
+        raise JpegException('restart_interval must fit in 16 bits')
+
     tables = (
         (_HUFF[('dc', 0)][0], _HUFF[('dc', 0)][1], _HUFF[('ac', 0)][0], _HUFF[('ac', 0)][1]),
         (_HUFF[('dc', 1)][0], _HUFF[('dc', 1)][1], _HUFF[('ac', 1)][0], _HUFF[('ac', 1)][1]),
     )
-    body_native = jpeg_encode_baseline_native(comp_blocks, subsampling, tables)
+    body_native = jpeg_encode_baseline_native(
+        comp_blocks, subsampling, tables, restart_interval=restart_interval
+    )
     if body_native is not None:
-        header = _build_headers(h, w, qy, qc, subsampling, n_comp)
+        header = _build_headers(h, w, qy, qc, subsampling, n_comp, restart_interval)
         return np.concatenate([
             np.frombuffer(header, dtype=np.uint8),
             body_native,
