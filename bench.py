@@ -5,7 +5,7 @@ Measures the flagship path (decode12 -> WB -> RCD -> postprocess -> Wiener ->
 bilateral -> metrics -> adaptive tonemap -> uint8) as ONE jitted XLA program,
 the BASELINE.json north-star configuration.  Prints one JSON line.
 
-Env knobs: TD_BENCH_BATCH (default 2), TD_BENCH_ITERS (default 5),
+Env knobs: TD_BENCH_BATCH (default 16), TD_BENCH_ITERS (default 5),
 TD_BENCH_W/TD_BENCH_H (default 4096x3000).
 
 Note: on the axon TPU tunnel, block_until_ready() does not synchronize;
@@ -29,7 +29,7 @@ def main():
     from tpu_darktable.pipeline.config import Debayer, ImageProcessingSettings, ToneMapper
     from tpu_darktable.pipeline.image_processor import build_pipeline_fn
 
-    batch = int(os.environ.get('TD_BENCH_BATCH', '2'))
+    batch = int(os.environ.get('TD_BENCH_BATCH', '16'))
     iters = int(os.environ.get('TD_BENCH_ITERS', '5'))
     width = int(os.environ.get('TD_BENCH_W', '4096'))
     height = int(os.environ.get('TD_BENCH_H', '3000'))

@@ -110,6 +110,26 @@ def test_fused_processor_end_to_end(rng):
     assert proc.bounds is not None and proc.metrics is not None
 
 
+def test_large_batch_sequential_stages_match(rng):
+    """Batch > 2 routes heavy stages through lax.map (memory cap); frames
+    within the batch must be identical, and the program must agree with the
+    vmap path to the same +-1 uint8 rounding as fused-vs-piecewise (vmap vs
+    scan changes fusion order, so the last float bit may differ)."""
+    h, w = 96, 128
+    data, _ = _make_bytes(h, w, rng)
+    imgs2 = {k: jnp.asarray(data) for k in 'ab'}
+    imgs4 = {k: jnp.asarray(data) for k in 'abcd'}
+    mk = lambda: ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(), white_balance=(1.2, 1.0, 1.1),
+    )
+    out2 = mk().process_image_set(imgs2)  # batch 2: vmap path
+    out4 = mk().process_image_set(imgs4)  # batch 4: lax.map path
+    np.testing.assert_array_equal(np.asarray(out4['a']), np.asarray(out4['d']))
+    diff = np.abs(np.asarray(out2['a']).astype(int) - np.asarray(out4['a']).astype(int))
+    assert diff.max() <= 1, diff.max()
+
+
 def test_fused_matches_piecewise(rng):
     """One fused XLA program == the reference's per-op chain."""
     h, w = 96, 128

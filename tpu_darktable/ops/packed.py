@@ -24,8 +24,12 @@ def _decode12_pairs(packed, ids_format: bool):
     packed = jnp.asarray(packed)
     if packed.shape[-1] % 3 != 0:
         raise ValueError(f'packed length must be multiple of 3, got {packed.shape[-1]}')
-    triples = packed.reshape(packed.shape[:-1] + (-1, 3)).astype(jnp.int32)
-    b0, b1, b2 = triples[..., 0], triples[..., 1], triples[..., 2]
+    # Stride-3 lane slices, NOT a (..., N, 3) reshape: a minor axis of 3
+    # pads to the 128-lane tile (21x memory expansion - OOMs large batches)
+    # while strided slices keep the minor dimension wide.
+    b0 = packed[..., 0::3].astype(jnp.int32)
+    b1 = packed[..., 1::3].astype(jnp.int32)
+    b2 = packed[..., 2::3].astype(jnp.int32)
     if ids_format:
         p0 = (b0 << 4) | (b2 & 0xF)
         p1 = (b1 << 4) | (b2 >> 4)

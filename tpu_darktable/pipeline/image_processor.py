@@ -148,12 +148,22 @@ def build_pipeline_fn(
         bounds = lerp(bounds_in, bounds_new, alpha)
         rgb = normalize_image(rgb, bounds)
 
+        # Large batches: run the memory-heavy per-frame stages sequentially
+        # (lax.map = scan) so live intermediates stay one frame deep - the
+        # Wiener stage's coset tensors otherwise scale linearly with B and
+        # OOM at B >= 8 on 16 GB HBM.  Throughput is unaffected: a 12MP
+        # frame already saturates the chip, so vmap parallelism across
+        # frames buys nothing (measured batch 1/2/4 within 10%).
+        if rgb.shape[0] <= 2:
+            batch_map = lambda f, x: jax.vmap(f)(x)
+        else:
+            batch_map = jax.lax.map
         if settings.enable_denoise:
-            rgb = jax.vmap(_denoise_one)(rgb)
+            rgb = batch_map(_denoise_one, rgb)
         if settings.enable_bilateral:
-            rgb = jax.vmap(_bilateral_one)(rgb)
+            rgb = batch_map(_bilateral_one, rgb)
         if settings.enable_laplacian:
-            rgb = jax.vmap(_laplacian_one)(rgb)
+            rgb = batch_map(_laplacian_one, rgb)
 
         metrics_new = _tonemap.compute_image_metrics(rgb, stride=8)
         metrics = lerp(metrics_in, metrics_new, alpha)
