@@ -237,11 +237,15 @@ def build_spatial_pipeline_fn(
         out_band = jax.lax.dynamic_slice(out, (off, jnp.int32(0), jnp.int32(0)), (band, width, 3))
         return out_band, bounds, metrics
 
+    # check_vma=False: the Pallas kernels inside (grid_blur, color_smooth)
+    # declare their out_shape via ShapeDtypeStruct without a vma annotation,
+    # which jax's varying-mesh-axes checker rejects under shard_map.
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(axis_name), P(), P()),
+        check_vma=False,
     )
     return fn
 
