@@ -209,19 +209,26 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
     t_mean = mean[..., None, :] * bb['wfwi'][None, None, None, None, :, None]
     t_all = jnp.concatenate([t_re, t_im, t_mean[..., None, :]], axis=-2)
 
-    # ---- column overlap-add (ov static shifted adds, coset-dense) ----
-    cacc = jnp.zeros((ov, n_ty, acc_w, 2 * uc + 1, c), dtype=_F32)
-    for q in range(ov):
-        dense = t_all[:, :, q].reshape(ov, n_ty, n_tx * k, -1, c)
-        cacc = cacc.at[:, :, q * stride : q * stride + n_tx * k].add(dense)
+    # ---- column overlap-add: pad + one add tree (a DUS chain would make
+    # ov sequential read-modify-write passes over the accumulator) ----
+    cacc = sum(
+        jnp.pad(
+            t_all[:, :, q].reshape(ov, n_ty, n_tx * k, -1, c),
+            ((0, 0), (0, 0),
+             (q * stride, acc_w - n_tx * k - q * stride), (0, 0), (0, 0)),
+        )
+        for q in range(ov)
+    )
 
     # ---- row synthesis (one einsum) + row overlap-add ----
     y = jnp.einsum('ptwfc,fk->ptkwc', cacc, bb['b_row_syn'], precision=hp_s)
-    out = jnp.zeros((acc_h, acc_w, c), dtype=_F32)
-    for p in range(ov):
-        out = out.at[p * stride : p * stride + n_ty * k].add(
-            y[p].reshape(n_ty * k, acc_w, c)
+    out = sum(
+        jnp.pad(
+            y[p].reshape(n_ty * k, acc_w, c),
+            ((p * stride, acc_h - n_ty * k - p * stride), (0, 0), (0, 0)),
         )
+        for p in range(ov)
+    )
 
     mask = mrow[:, None] * mcol[None, :]
     return out[k : k + h, k : k + w] / (mask[k : k + h, k : k + w, None] + _EPS)
