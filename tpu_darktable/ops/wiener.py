@@ -124,6 +124,13 @@ def _sep_bases(k: int, wf: np.ndarray, wi: np.ndarray):
     sin_c = (np.sin(ang_v) * wf[None, :]).T
     cos_s = np.cos(ang_v) * wi[None, :]  # (V, J) synthesis over columns
     sin_s = np.sin(ang_v) * wi[None, :]
+    # Packed column-analysis basis producing re|im spectra DIRECTLY from the
+    # [cos_u | sin_u] row channels stacked on the tap axis (J = 2k rows):
+    #   re[v,u] = sum_j (Fc[j,u] cos_c[j,v] - Fs[j,u] sin_c[j,v])
+    #   im[v,u] = -sum_j (Fs[j,u] cos_c[j,v] + Fc[j,u] sin_c[j,v])
+    # Halves the spectral intermediate vs computing all (v, f) products and
+    # combining afterwards (the dominant HBM tensor of the separable path).
+    b_reim = np.block([[cos_c, -sin_c], [-sin_c, -cos_c]])  # (2J, [re_v|im_v])
     # Spectrum of the analysis window (for the folded mean subtraction).
     w2f = np.outer(wf, wf)
     w_hat = np.fft.fft2(w2f)[:u_count, :]  # (U, K) complex
@@ -132,15 +139,14 @@ def _sep_bases(k: int, wf: np.ndarray, wi: np.ndarray):
     row_cos = (np.cos(ang_u) * wi[:, None] * rho[None, :]).T  # (U, K)
     row_sin = (-np.sin(ang_u) * wi[:, None] * rho[None, :]).T
     b_row_syn = np.concatenate([row_cos, row_sin, (wf * wi)[None, :]], axis=0)
-    # Packed one-pass bases: analysis [cos | sin] (J, 2V); synthesis block
-    # [[cos, sin], [-sin, cos]] (2V, 2J) mapping [S_re; S_im] -> [T_re; T_im].
-    cs_c = np.concatenate([cos_c, sin_c], axis=1)
+    # Synthesis block [[cos, sin], [-sin, cos]] (2V, 2J): [S_re; S_im] ->
+    # [T_re; T_im] in one pass.
     cs_s = np.block([[cos_s, sin_s], [-sin_s, cos_s]])
     f32 = lambda a: jnp.asarray(a.astype(np.float32))
     return dict(
         u_count=u_count,
         b_row=f32(b_row),
-        cs_c=f32(cs_c),
+        b_reim=f32(b_reim),
         cs_s=f32(cs_s),
         w_hat_re=f32(w_hat.real.copy()),
         w_hat_im=f32(w_hat.imag.copy()),
@@ -181,14 +187,19 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
     ]).reshape(ov, n_ty, k, acc_w, c)
     rout = jnp.einsum('ptkwc,kf->ptwfc', win, bb['b_row'], precision=hp_a)
 
-    # ---- column analysis: packed [cos | sin] basis, one einsum ----
+    # ---- column analysis: packed re|im basis, one einsum ----
+    # Stack the cos_u / sin_u row channels on the tap axis (J = 2k) so the
+    # contraction yields the re|im spectrum directly - no (v, f) cross
+    # tensor twice this size (see _sep_bases b_reim).
     cwin = jnp.stack([
         rout[:, :, q * stride : q * stride + n_tx * k] for q in range(ov)
     ], axis=2).reshape(ov, n_ty, ov, n_tx, k, 2 * uc + 1, c)
-    both = jnp.einsum('ptqxjfc,jm->ptqxmfc', cwin, bb['cs_c'], precision=hp_a)
-    p_cos, p_sin = both[..., :k, :, :], both[..., k:, :, :]
-    re_x = p_cos[..., :uc, :] - p_sin[..., uc : 2 * uc, :]
-    im_x = -(p_sin[..., :uc, :] + p_cos[..., uc : 2 * uc, :])
+    g_all = jnp.concatenate(
+        [cwin[..., :uc, :], cwin[..., uc : 2 * uc, :]], axis=4
+    )  # (ov, n_ty, ov, n_tx, 2k, uc, c)
+    reim = jnp.einsum('ptqxjuc,jv->ptqxvuc', g_all, bb['b_reim'], precision=hp_a)
+    re_x = reim[..., :k, :, :]
+    im_x = reim[..., k:, :, :]
     mean = cwin[..., 2 * uc, :].sum(axis=4) / (k * k)  # (ov, n_ty, ov, n_tx, C)
 
     # ---- mean-corrected spectral gain (denoise.cu:181-186) ----
