@@ -39,7 +39,8 @@ def _region(h, w, r0, r1, c0, c1):
     return (rows >= r0) & (rows <= r1) & (cols >= c0) & (cols <= c1)
 
 
-def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1, strict_alias=True):
+def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1,
+                    strict_alias=True, stale=None):
     """Emulate the reference's half-grid buffer with stale-alias background.
 
     The CUDA code writes `plane[idx/2]` at odd columns of rows [r0, r1]
@@ -48,10 +49,16 @@ def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1, strict_a
     {2s, 2s+1} contains a written site, else the stale background at flat
     index s.  Returns a full-grid array F with F[r, c] = buffer[(r*w + c)//2]
     for odd c (the only columns ever read through this path).
+
+    `stale`: optional precomputed (h, w//2) stale plane.  Used by the edge
+    strips of the Pallas-interior path, whose stale values must come from
+    the FULL image's flat indexing (a strip-local flat reshape diverges).
     """
     slots = values_full[..., :, 1::2]  # value at (r, 2j+1) -> slot r*w/2 + j
     written = _region(h, w // 2, r0, r1, (c0 - 1) // 2, (c1 - 1) // 2)
-    if strict_alias:
+    if stale is not None:
+        plane = jnp.where(written, slots, stale)
+    elif strict_alias:
         flat = background_full.reshape(background_full.shape[:-2] + (h * w,))
         stale = flat[..., : h * (w // 2)].reshape(background_full.shape[:-2] + (h, w // 2))
         plane = jnp.where(written, slots, stale)
@@ -60,7 +67,8 @@ def _halfgrid_plane(values_full, background_full, h, w, r0, r1, c0, c1, strict_a
     return jnp.repeat(plane, 2, axis=-1)
 
 
-def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
+def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True,
+                 use_pallas: bool | None = None):
     """Full RCD: border ladder + 12-step main sequence (RCDImpl::process,
     rcd.cu:601-671).
 
@@ -72,6 +80,11 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
             RCD_MARGIN boundary).  False uses zeros as the background -
             cleaner semantics, required for tile/shard decompositions whose
             block-local aliasing would otherwise differ from the full image.
+        use_pallas: run the interior through the fused Pallas cascade
+            (kernels/rcd_interior.py) with the alias ring + border ladder on
+            XLA edge strips.  None = auto (TPU backend, image large enough).
+            Interior values agree with the XLA path to float-reassociation
+            (~2e-7; Mosaic lowers divides as reciprocal-multiplies).
 
     Returns:
         (H, W, 3) RGB.
@@ -81,6 +94,79 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     if h % 2 or w % 2:
         raise ValueError(f'RCD requires even dimensions, got {h}x{w}')
 
+    if use_pallas is None:
+        # Default OFF: the fused kernel's Mosaic compile is ~20 min per
+        # shape on this host's remote-compile service (runtime win is
+        # measured; see BASELINE.md).  Opt in per call until warm compile
+        # caches make it the default.
+        use_pallas = False
+    if use_pallas and h >= 96 and w >= 96:
+        return _rcd_pallas(x, pattern, strict_alias)
+    return _rcd_xla(x, pattern, strict_alias)
+
+
+_RING = 12   # px of output taken from the XLA edge strips
+_STRIP = 32  # strip height/width (>= _RING + inner-edge contamination ~16)
+
+
+def _vh_highpass(x):
+    """Global V/H squared high-pass planes (rcd.cu:63-75) - the stale-alias
+    background source for the half-grid buffers."""
+    h, w = x.shape
+    s = Shifter(jnp.maximum(x, 0.0), 4, mode='constant')
+    c00 = s(0, 0)
+    vd = (s(-3, 0) - 3.0 * s(-2, 0) - s(-1, 0) + 6.0 * c00
+          - s(1, 0) - 3.0 * s(2, 0) + s(3, 0)) ** 2
+    hd = (s(0, -3) - 3.0 * s(0, -2) - s(0, -1) + 6.0 * c00
+          - s(0, 1) - 3.0 * s(0, 2) + s(0, 3)) ** 2
+    r34 = _region(h, w, 3, h - 4, 3, w - 4)
+    return jnp.where(r34, vd, 0.0), jnp.where(r34, hd, 0.0)
+
+
+def _rcd_pallas(x, pattern: BayerPattern, strict_alias: bool):
+    """Fused-interior RCD: Pallas cascade for pixels >= _RING from every
+    edge, XLA strips (with injected global stale planes when strict_alias)
+    for the ring + border ladder."""
+    from ..kernels.rcd_interior import rcd_interior, site_parities
+
+    import jax
+
+    h, w = x.shape
+    rp, bp = site_parities(pattern)
+    interp = jax.default_backend() != 'tpu'  # CPU tests run interpreted
+    interior = jnp.moveaxis(
+        rcd_interior(x, r_par=rp, b_par=bp, interpret=interp), 0, -1)
+
+    if strict_alias:
+        vd, hd = _vh_highpass(x)
+        stale_v = vd.reshape(h * w)[: h * (w // 2)].reshape(h, w // 2)
+        stale_h = hd.reshape(h * w)[: h * (w // 2)].reshape(h, w // 2)
+        # Stale plane for global column c lives at slot (r, c//2); slice per
+        # strip.  The top strip's local flat indexing equals the global one.
+        sv_b, sh_b = stale_v[h - _STRIP:], stale_h[h - _STRIP:]
+        sv_l, sh_l = stale_v[:, : _STRIP // 2], stale_h[:, : _STRIP // 2]
+        sv_r, sh_r = stale_v[:, (w - _STRIP) // 2:], stale_h[:, (w - _STRIP) // 2:]
+        top = _rcd_xla(x[:_STRIP], pattern, True)
+        bottom = _rcd_xla(x[h - _STRIP:], pattern, True, sv_b, sh_b)
+        left = _rcd_xla(x[:, :_STRIP], pattern, True, sv_l, sh_l)
+        right = _rcd_xla(x[:, w - _STRIP:], pattern, True, sv_r, sh_r)
+    else:
+        top = _rcd_xla(x[:_STRIP], pattern, False)
+        bottom = _rcd_xla(x[h - _STRIP:], pattern, False)
+        left = _rcd_xla(x[:, :_STRIP], pattern, False)
+        right = _rcd_xla(x[:, w - _STRIP:], pattern, False)
+
+    r = _RING
+    mid = jnp.concatenate(
+        [left[r : h - r, :r], interior[r : h - r, r : w - r],
+         right[r : h - r, -r:]], axis=1)
+    return jnp.concatenate([top[:r], mid, bottom[-r:]], axis=0)
+
+
+def _rcd_xla(x, pattern: BayerPattern, strict_alias: bool,
+             stale_v=None, stale_h=None):
+    """The pure-XLA RCD sequence (optionally with injected stale planes)."""
+    h, w = x.shape
     masks = site_masks(h, w, pattern)
     m_g = masks['g']
     rows, cols = row_col_iota(h, w)
@@ -148,8 +234,10 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True):
     qd_full = ((s(-3, 3) - s(-1, 1) - s(1, -1) + s(3, -3)) - 3.0 * (s(-2, 2) + s(2, -2)) + 6.0 * c00) ** 2
     # Half-grid planes share the v/h diff buffers (rcd.cu:650-652); reads at
     # unwritten slots alias onto vd/hd data.  _halfgrid_plane reproduces that.
-    pd = _halfgrid_plane(pd_full, vd, h, w, 3, h - 4, 3, w - 4, strict_alias)
-    qd = _halfgrid_plane(qd_full, hd, h, w, 3, h - 4, 3, w - 4, strict_alias)
+    pd = _halfgrid_plane(pd_full, vd, h, w, 3, h - 4, 3, w - 4, strict_alias,
+                         stale=stale_v)
+    qd = _halfgrid_plane(qd_full, hd, h, w, 3, h - 4, 3, w - 4, strict_alias,
+                         stale=stale_h)
 
     # ---- step 4.2: P/Q local discrimination (rcd.cu:166-182) ----
     # Slot arithmetic resolves to column-parity-dependent gathers:

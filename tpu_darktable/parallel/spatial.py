@@ -86,7 +86,8 @@ def spatial_shard_map_demosaic(
 
 def _demosaic_one(bayer, pattern: BayerPattern, algorithm: str):
     if algorithm == 'rcd':
-        return _rcd.rcd_demosaic(bayer, pattern, strict_alias=False)
+        return _rcd.rcd_demosaic(bayer, pattern, strict_alias=False,
+                                 use_pallas=False)
     if algorithm == 'ppg':
         return _demosaic.ppg_demosaic(bayer, pattern)
     if algorithm == 'bilinear':

@@ -86,7 +86,8 @@ def build_spatial_pipeline_fn(
         if settings.debayer == Debayer.bilinear:
             return _demosaic.bilinear5x5_demosaic(bayer, bayer_pattern)
         if settings.debayer == Debayer.rcd:
-            return _rcd.rcd_demosaic(bayer, bayer_pattern, strict_alias=False)
+            return _rcd.rcd_demosaic(bayer, bayer_pattern, strict_alias=False,
+                                     use_pallas=False)
         if settings.debayer == Debayer.ppg:
             return _demosaic.ppg_demosaic(
                 bayer, bayer_pattern, median_threshold=settings.ppg_median_threshold
