@@ -219,7 +219,7 @@ def _kernel(x_prev, x_cur, x_next, o_ref, *, bh: int,
 
 
 @functools.partial(jax.jit, static_argnames=('r_par', 'b_par', 'bh', 'interpret'))
-def rcd_interior(cfa, *, r_par: tuple, b_par: tuple, bh: int = 64,
+def rcd_interior(cfa, *, r_par: tuple, b_par: tuple, bh: int = 128,
                  interpret: bool = False):
     """Fused RCD main sequence on a (H, W) mosaic.
 
@@ -252,7 +252,7 @@ def rcd_interior(cfa, *, r_par: tuple, b_par: tuple, bh: int = 64,
             dimension_semantics=('arbitrary',),
             # ~18 band-sized planes are live through the cascade; the
             # default 16M scoped-vmem cap is conservative (v5e has 128M).
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, xp, xp)
