@@ -7,6 +7,31 @@ compiles into one XLA program (see pipeline/), and frame batches shard over
 TPU meshes (see parallel/).
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (fused-pipeline / Mosaic compiles
+    run minutes on remote-compile hosts; cached reloads take seconds).
+    Opt out with TD_NO_COMPILE_CACHE=1; JAX_COMPILATION_CACHE_DIR wins."""
+    if _os.environ.get('TD_NO_COMPILE_CACHE') == '1':
+        return
+    if _os.environ.get('JAX_COMPILATION_CACHE_DIR'):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.path.join(
+            _os.path.expanduser('~'), '.cache', 'tpu_darktable', 'jax_cache'
+        )
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    except Exception:
+        pass  # never block import on cache plumbing
+
+
+_enable_compile_cache()
+
 from . import (
     bayer,
     color_conversion,

@@ -95,11 +95,22 @@ def rcd_demosaic(image, pattern: BayerPattern, strict_alias: bool = True,
         raise ValueError(f'RCD requires even dimensions, got {h}x{w}')
 
     if use_pallas is None:
-        # Default OFF: the fused kernel's Mosaic compile is ~20 min per
-        # shape on this host's remote-compile service (runtime win is
-        # measured; see BASELINE.md).  Opt in per call until warm compile
-        # caches make it the default.
-        use_pallas = False
+        # Auto: TPU backend + large frames, where the fused cascade wins
+        # (11.8 vs 18 ms at 12MP).  Small frames keep the XLA path - the
+        # kernel's Mosaic compile runs minutes per fresh shape on remote-
+        # compile hosts (cached reloads are fast; __init__ enables a
+        # persistent cache).  Override with TD_RCD_PALLAS=1/0.
+        import os
+
+        import jax
+
+        env = os.environ.get('TD_RCD_PALLAS')
+        if env in ('0', '1'):
+            use_pallas = env == '1'
+        else:
+            use_pallas = (
+                jax.default_backend() == 'tpu' and h * w >= 4_000_000
+            )
     if use_pallas and h >= 96 and w >= 96:
         return _rcd_pallas(x, pattern, strict_alias)
     return _rcd_xla(x, pattern, strict_alias)
