@@ -48,10 +48,14 @@ def _kernel(thr_ref, x_prev, x_cur, x_next, o_ref,
         # row/col values.  The extent rows holding true rows 0 / h-1 are
         # band-dependent, so extract them dynamically (the clip keeps the
         # start legal for bands where the mask is all-false anyway).
-        top_idx = jnp.clip(-row0_true, 0, n_rows - 1)
-        bot_idx = jnp.clip(h - 1 - row0_true, 0, n_rows - 1)
-        top_row = jax.lax.dynamic_slice_in_dim(v, top_idx, 1, axis=0)
-        bot_row = jax.lax.dynamic_slice_in_dim(v, bot_idx, 1, axis=0)
+        # Masked one-row reductions, not dynamic slices (Mosaic rejects the
+        # dynamic_slice primitive on kernel values).  When the band holds
+        # no true row 0 / h-1 the rows come out zero, but then the above/
+        # below masks are all-false and the value is never used.
+        top_row = jnp.sum(jnp.where(rows_t == 0, v, 0.0), axis=0,
+                          keepdims=True)
+        bot_row = jnp.sum(jnp.where(rows_t == h - 1, v, 0.0), axis=0,
+                          keepdims=True)
         v = jnp.where(above, top_row, v)
         v = jnp.where(below, bot_row, v)
         v = jnp.where(left, v[:, m : m + 1], v)
