@@ -129,7 +129,10 @@ def main():
                 a = nlm.wavelet_denoise(im, 0.05)
                 return nlm.nlm_denoise(a, 0.05)
 
-            return jax.vmap(one)(x)
+            # lax.map, not vmap: batching the Pallas NLM kernel multiplies
+            # its scoped-VMEM need past the cap (same policy as the fused
+            # pipeline's large-batch heavy stages).
+            return jax.lax.map(one, x)
 
         dt = _bench_chained(denoise_chain, rgbs, 2) / b8
         report['config3_wavelet_nlm_b8'] = {'seconds_per_frame': dt, 'fps': 1.0 / dt}

@@ -119,6 +119,9 @@ def nlm_core(planes, inv_h2, *, search_radius: int = 3, patch_radius: int = 1,
         out_shape=jax.ShapeDtypeStruct((c, n_rb * bh, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
+            # 3-channel triple-view blocks at 12MP widths need ~57M scoped
+            # VMEM; the default 16M cap is conservative (v5e has 128M).
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(jnp.asarray(inv_h2, jnp.float32).reshape(1), xp, xp, xp)
