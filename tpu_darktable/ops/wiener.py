@@ -155,7 +155,8 @@ def _sep_bases(k: int, wf: np.ndarray, wi: np.ndarray):
     )
 
 
-def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s):
+def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s,
+                      spectral_dtype=None):
     """Separable-DFT Wiener core on the reflect-padded image `xr`.
 
     Grid/crop geometry is identical to the stacked-coset path: tile (gy, gx)
@@ -198,6 +199,12 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
         [cwin[..., :uc, :], cwin[..., uc : 2 * uc, :]], axis=4
     )  # (ov, n_ty, ov, n_tx, 2k, uc, c)
     reim = jnp.einsum('ptqxjuc,jv->ptqxvuc', g_all, bb['b_reim'], precision=hp_a)
+    if spectral_dtype is not None:
+        # Optional low-precision storage for the two dominant spectral
+        # tensors (bf16 halves their HBM traffic: 47.9 -> 44.9 ms at 12MP
+        # ov=4; measured oracle error 5e-4 vs 2.7e-5 fp32 - inside the
+        # 1e-3 budget but with less margin, so fp32 stays the default).
+        reim = reim.astype(spectral_dtype).astype(_F32)
     re_x = reim[..., :k, :, :]
     im_x = reim[..., k:, :, :]
     mean = cwin[..., 2 * uc, :].sum(axis=4) / (k * k)  # (ov, n_ty, ov, n_tx, C)
@@ -212,6 +219,8 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
     gain = jnp.maximum(power - sig2[..., None, :], 0.0) / power
     # Pack [S_re | S_im] on the v axis for the one-pass column synthesis.
     s_all = jnp.concatenate([re_t * gain, im_t * gain], axis=4)
+    if spectral_dtype is not None:
+        s_all = s_all.astype(spectral_dtype).astype(_F32)
 
     # ---- column synthesis: block basis [[cos, sin], [-sin, cos]] ----
     t_both = jnp.einsum('ptqxvfc,vm->ptqxmfc', s_all, bb['cs_s'], precision=hp_s)
@@ -255,6 +264,7 @@ def wiener_denoise(
     precision=jax.lax.Precision.HIGH,
     use_pallas: bool | None = None,
     use_separable: bool = True,
+    spectral_dtype=None,
     _pallas_interpret: bool = False,
 ):
     """Wiener-filter an (H, W, C) image, C in {1, 3}.
@@ -372,7 +382,8 @@ def wiener_denoise(
 
     if use_separable and fast and not use_pallas:
         return _wiener_separable(
-            xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
+            xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s,
+            spectral_dtype=spectral_dtype,
         )
 
     if use_pallas:
