@@ -38,6 +38,11 @@ try:  # fused Pallas blur cascade (TPU); per-axis XLA passes fall back
 except Exception:  # pragma: no cover - pallas unavailable on exotic setups
     _grid_blur_xyz = None
 
+try:  # fully-fused splat/blur/slice kernel (integer-sigma fast path)
+    from ..kernels.bilateral_fused import bilateral_fused as _bilateral_fused
+except Exception:  # pragma: no cover
+    _bilateral_fused = None
+
 _F32 = jnp.float32
 
 
@@ -144,6 +149,7 @@ def _blur5(grid, axis: int, weights):
 def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
                       _force_general: bool = False,
                       _use_pallas_blur: bool | None = None,
+                      _use_fused_kernel: bool = False,
                       _pallas_interpret: bool = False):
     """Detail boost on an (H, W) luminance plane (BilateralImpl::process,
     bilateral.cu:358-385).
@@ -172,6 +178,26 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
         and gx == w // s_int + 1
         and gy == h // s_int + 1
     )
+
+    if fast and _bilateral_fused is not None:
+        # Fully-fused Pallas chain (kernels/bilateral_fused.py).  OFF by
+        # default: measured 32.8 vs 14.9 ms at 12MP sigma_s=2 - the ~200
+        # pltpu.roll shifts per band are VPU-bound on this chip and cost
+        # more than the XLA chain's HBM round trips.  Kept as an explicit
+        # opt-in (_use_fused_kernel=True) and a negative-result template;
+        # outputs agree to float rounding (6e-8).
+        if _use_fused_kernel or _pallas_interpret:
+            wg = w // s_int
+            for bg in (64, 32, 16, 8):
+                vmem = 4 * (2 * gz * 3 * bg * (wg + 16)
+                            + s_int * s_int * 3 * bg * wg)
+                if vmem < 48 * 1024 * 1024 or bg == 8:
+                    break
+            l_diff = _bilateral_fused(
+                lum, s=s_int, gz=gz, sigma_r=float(sigma_r),
+                z_mode='derivative', bg=bg, interpret=_pallas_interpret)
+            norm = -detail * sigma_r * 4.0
+            return jnp.maximum(0.0, lum + norm * l_diff)
 
     if not fast:
         idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
