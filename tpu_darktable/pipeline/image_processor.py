@@ -140,9 +140,14 @@ def build_pipeline_fn(
         if has_white_balance:
             bayer = _wb.apply_white_balance(bayer, wb_gains, bayer_pattern)
 
-        rgb = jax.vmap(_demosaic_one)(bayer)
-        if settings.postprocess:
-            rgb = jax.vmap(_postprocess_one)(rgb)
+        if bayer.shape[0] <= 2:
+            rgb = jax.vmap(_demosaic_one)(bayer)
+            if settings.postprocess:
+                rgb = jax.vmap(_postprocess_one)(rgb)
+        else:
+            rgb = jax.lax.map(_demosaic_one, bayer)
+            if settings.postprocess:
+                rgb = jax.lax.map(_postprocess_one, rgb)
 
         bounds_new = _tonemap.compute_image_bounds(rgb, stride=8)
         bounds = lerp(bounds_in, bounds_new, alpha)
