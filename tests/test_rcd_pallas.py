@@ -29,6 +29,24 @@ def test_rcd_pallas_matches_xla(pattern, strict, rng):
     assert d[~ring].max() < 1e-5, ('interior differs', d[~ring].max())
 
 
+def test_rcd_interior_multiband_halo(rng):
+    """bh=32 on a 160-row image forces n_rb=5 bands: exercises the
+    band-halo concat (x_prev[bh-16:] / x_next[:16]) and roll-wrap
+    containment, which the default bh=128 single-band cases never hit."""
+    from tpu_darktable.kernels.rcd_interior import rcd_interior, site_parities
+
+    h, w = 160, 128
+    x = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    rp, bp = site_parities(BayerPattern.RGGB)
+    out = np.asarray(
+        rcd_interior(x, r_par=rp, b_par=bp, bh=32, interpret=True))
+    ref = np.moveaxis(
+        np.asarray(R._rcd_xla(x, BayerPattern.RGGB, False)), -1, 0)
+    r = RING
+    d = np.abs(out[:, r:-r, r:-r] - ref[:, r:-r, r:-r]).max()
+    assert d < 1e-5, ('multi-band interior differs', d)
+
+
 def test_rcd_pallas_dispatch_flag(rng):
     """use_pallas=False forces the XLA path; explicit True works on CPU
     (interpreted) through the public entry point."""

@@ -21,6 +21,8 @@ def _enable_compile_cache():
     try:
         import jax
 
+        if getattr(jax.config, 'jax_compilation_cache_dir', None):
+            return  # host app already configured its own cache dir
         cache_dir = _os.path.join(
             _os.path.expanduser('~'), '.cache', 'tpu_darktable', 'jax_cache'
         )

@@ -51,15 +51,18 @@ def _kernel(x_prev, x_cur, x_next, o_ref, *, bh: int,
     _shift_cache = {}
 
     def s(a, dy, dx):
+        # Keyed on id(a): the cached entry stores `a` itself so the keyed
+        # object stays alive for the whole trace (a recycled id of a GC'd
+        # temporary can therefore never alias a live key).
         key = (id(a), dy, dx)
         if key in _shift_cache:
-            return _shift_cache[key]
+            return _shift_cache[key][1]
         y = a
         if dy:
             y = pltpu.roll(y, (-dy) % n0, 0)
         if dx:
             y = pltpu.roll(y, (-dx) % n1, 1)
-        _shift_cache[key] = y
+        _shift_cache[key] = (a, y)
         return y
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)

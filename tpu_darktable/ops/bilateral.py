@@ -185,8 +185,9 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
         # pltpu.roll shifts per band are VPU-bound on this chip and cost
         # more than the XLA chain's HBM round trips.  Kept as an explicit
         # opt-in (_use_fused_kernel=True) and a negative-result template;
-        # outputs agree to float rounding (6e-8).
-        if _use_fused_kernel or _pallas_interpret:
+        # outputs agree to float rounding (6e-8).  _pallas_interpret only
+        # selects interpret-mode for whichever path is otherwise active.
+        if _use_fused_kernel:
             wg = w // s_int
             for bg in (64, 32, 16, 8):
                 vmem = 4 * (2 * gz * 3 * bg * (wg + 16)

@@ -561,6 +561,16 @@ def encode_jpeg(
             np.frombuffer(b'\xff\xd9', dtype=np.uint8),
         ])
 
+    if restart_interval > 0:
+        import warnings
+
+        warnings.warn(
+            'native bitpack library unavailable: the numpy fallback emits no '
+            'restart markers; encoding without restart intervals',
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     all_codes, all_lens, all_rank, all_order = [], [], [], []
     for comp, blocks in enumerate(comp_blocks):
         table_id = 0 if comp == 0 else 1
