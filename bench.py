@@ -105,10 +105,11 @@ def main():
         return _bench_child()
 
     # Fallback ladder: (env overrides, wall-clock budget in seconds).
+    # Worst-case total ~470s, inside any plausible driver timeout.
     attempts = [
         ({}, budget),
-        ({'TD_RCD_PALLAS': '0'}, 180.0),
-        ({'TD_RCD_PALLAS': '0', 'TD_BENCH_BATCH': '2'}, 120.0),
+        ({'TD_RCD_PALLAS': '0'}, 160.0),
+        ({'TD_RCD_PALLAS': '0', 'TD_BENCH_BATCH': '2'}, 100.0),
     ]
     for i, (overrides, timeout_s) in enumerate(attempts, 1):
         env = dict(os.environ)
@@ -120,9 +121,13 @@ def main():
                 [sys.executable, os.path.abspath(__file__), '--child'],
                 env=env, timeout=timeout_s, capture_output=True, text=True,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(f'[bench] attempt {i} exceeded {timeout_s:.0f}s budget, killed',
                   file=sys.stderr, flush=True)
+            if e.stderr:
+                err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode(
+                    'utf-8', 'replace')
+                sys.stderr.write(err)
             continue
         sys.stderr.write(res.stderr)
         line = next(

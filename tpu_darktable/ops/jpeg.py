@@ -21,6 +21,7 @@ progressive scans with optimized Huffman tables (ops/jpeg_progressive.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -485,6 +486,7 @@ def encode_jpeg(
     subsampling: int = 1,
     progressive: bool = False,
     restart_interval: int | None = None,
+    entropy: str = 'auto',
 ) -> np.ndarray:
     """Encode a uint8 image to a baseline JFIF bitstream.
 
@@ -500,6 +502,13 @@ def encode_jpeg(
             row on large images - the entropy scan then parallelizes across
             host threads, the role per-MCU-row parallelism plays inside
             nvJPEG, jpeg_encoder.cu:117-148); 0 = off; > 0 = explicit.
+        entropy: 'device' packs the entropy stream on the TPU and transfers
+            only the compressed bytes (the fully-on-device encode of the
+            reference's nvJPEG, jpeg_encoder.cu:117-173); 'host' ships the
+            int16 coefficients and packs on the CPU; 'auto' (default) picks
+            'device' on a TPU backend, 'host' otherwise.  Env override:
+            TD_JPEG_DEVICE_ENTROPY=0/1.  Identical bytes either way; a
+            device capacity overflow falls back to 'host' automatically.
 
     Returns:
         numpy uint8 bitstream.
@@ -520,24 +529,21 @@ def encode_jpeg(
     h, w = arr.shape[:2]
     qy, qc = quality_to_tables(quality)
 
-    comp_blocks = _jpeg_device_stage(
+    comp_blocks_dev = _jpeg_device_stage(
         jnp.asarray(arr), jnp.asarray(qy, dtype=jnp.float32),
         jnp.asarray(qc, dtype=jnp.float32), subsampling=subsampling,
         swap_br=swap_br,
     )
-    comp_blocks = [np.asarray(cb) for cb in comp_blocks]
-    n_comp = len(comp_blocks)
+    n_comp = len(comp_blocks_dev)
 
     if progressive:
+        comp_blocks = [np.asarray(cb) for cb in comp_blocks_dev]
         return _encode_progressive(comp_blocks, h, w, qy, qc, subsampling)
-
-    # Fast path: single-pass C++ entropy scan (the nvJPEG-entropy analog).
-    from ..native import jpeg_encode_baseline_native
 
     mcu_w = 16 if (subsampling == 1 and n_comp == 3) else 8
     mcus_per_row = (w + mcu_w - 1) // mcu_w
-    n_mcu = comp_blocks[1].shape[0] if (subsampling == 1 and n_comp == 3) \
-        else comp_blocks[0].shape[0]
+    n_mcu = comp_blocks_dev[1].shape[0] if (subsampling == 1 and n_comp == 3) \
+        else comp_blocks_dev[0].shape[0]
     if restart_interval is None:
         # Auto: one MCU row per interval once the image is big enough for
         # thread parallelism to pay (the DRI/RST overhead is ~2 bytes/row).
@@ -545,6 +551,34 @@ def encode_jpeg(
     restart_interval = int(restart_interval)
     if restart_interval > 65535:
         raise JpegException('restart_interval must fit in 16 bits')
+
+    if entropy not in ('auto', 'device', 'host'):
+        raise JpegException("entropy must be 'auto', 'device' or 'host'")
+    use_device = entropy == 'device'
+    if entropy == 'auto':
+        env = os.environ.get('TD_JPEG_DEVICE_ENTROPY')
+        if env is not None:
+            use_device = env.lower() not in ('0', 'false', '')
+        else:
+            use_device = jax.default_backend() == 'tpu'
+    if use_device:
+        from .jpeg_entropy import entropy_encode_device
+
+        body = entropy_encode_device(
+            comp_blocks_dev, subsampling, restart_interval)
+        if body is not None:  # None = capacity overflow -> host fallback
+            header = _build_headers(
+                h, w, qy, qc, subsampling, n_comp, restart_interval)
+            return np.concatenate([
+                np.frombuffer(header, dtype=np.uint8),
+                body,
+                np.frombuffer(b'\xff\xd9', dtype=np.uint8),
+            ])
+
+    comp_blocks = [np.asarray(cb) for cb in comp_blocks_dev]
+
+    # Fast path: single-pass C++ entropy scan (the nvJPEG-entropy analog).
+    from ..native import jpeg_encode_baseline_native
 
     tables = (
         (_HUFF[('dc', 0)][0], _HUFF[('dc', 0)][1], _HUFF[('ac', 0)][0], _HUFF[('ac', 0)][1]),
