@@ -259,6 +259,21 @@ def test_streaming_executor(rng):
     results2 = ex2.run(frames)
     assert len(results2) == 5 and all(r.jpeg is None for r in results2)
 
+    # device-JPEG mode: frames stay on device, entropy packed on device -
+    # bitstreams and images must match the host-entropy executor exactly.
+    # Reset the EMA state so this run starts from the same state as ex's.
+    proc.metrics = None
+    proc.bounds = None
+    ex3 = StreamingExecutor(proc, batch_size=2, jpeg_quality=90,
+                            device_jpeg=True)
+    results3 = ex3.run(frames)
+    by_name3 = {r.name: r for r in results3}
+    for i in range(5):
+        r3 = by_name3[f'f{i}']
+        assert r3.error is None
+        assert r3.jpeg == by_name[f'f{i}'].jpeg
+        np.testing.assert_array_equal(r3.image, by_name[f'f{i}'].image)
+
 
 def test_laplacian_in_fused_chain(rng):
     """North-star chain option: local laplacian as the local-contrast stage."""

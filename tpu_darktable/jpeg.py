@@ -41,6 +41,7 @@ class Jpeg:
         subsampling: Subsampling = Subsampling.CSS_422,
         progressive: bool = False,
         restart_interval: int | None = None,
+        entropy: str = 'auto',
     ):
         return encode_jpeg(
             image,
@@ -49,6 +50,7 @@ class Jpeg:
             subsampling=int(subsampling),
             progressive=progressive,
             restart_interval=restart_interval,
+            entropy=entropy,
         )
 
 

@@ -513,7 +513,11 @@ def encode_jpeg(
     Returns:
         numpy uint8 bitstream.
     """
-    arr = np.asarray(image)
+    # A jax.Array input stays on device end-to-end: with entropy='device'
+    # only the compressed stream ever crosses the host<->device link (the
+    # reference's nvJPEG contract, jpeg_encoder.cu:117-173, where frames
+    # are consumed straight from GPU memory).
+    arr = image if isinstance(image, jax.Array) else np.asarray(image)
     if arr.dtype != np.uint8:
         raise JpegException('Input image should be uint8')
     interleaved = input_format in (2, 3)
@@ -523,7 +527,8 @@ def encode_jpeg(
     else:
         if arr.ndim != 3 or arr.shape[0] != 3:
             raise JpegException('for planar (BGR, RGB) expected (3, H, W)')
-        arr = np.moveaxis(arr, 0, -1)
+        arr = jnp.moveaxis(arr, 0, -1) if isinstance(arr, jax.Array) \
+            else np.moveaxis(arr, 0, -1)
     swap_br = input_format in (0, 2)
 
     h, w = arr.shape[:2]

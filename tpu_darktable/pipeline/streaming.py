@@ -41,9 +41,13 @@ class StreamingExecutor:
         processor: a pipeline.ImageProcessor (holds the fused program + EMA).
         batch_size: frames per device dispatch.
         jpeg_quality: encode quality; None disables JPEG (images only).
-        jpeg_workers: host JPEG encoder threads.
-        keep_images: include the uint8 frame in results (costs a transfer
-            anyway when JPEG is on; when False and JPEG on, only bytes).
+        jpeg_workers: host JPEG encoder threads (host-entropy mode only).
+        keep_images: include the uint8 frame in results (costs a frame
+            transfer; with device JPEG and keep_images=False only the
+            compressed bytes ever cross the host<->device link).
+        device_jpeg: encode the entropy stream on the device (nvJPEG's
+            fully-on-accelerator contract, jpeg_encoder.cu:117-173).
+            None = auto: on when the default backend is a TPU.
     """
 
     processor: object
@@ -51,6 +55,7 @@ class StreamingExecutor:
     jpeg_quality: int | None = 90
     jpeg_workers: int = 2
     keep_images: bool = True
+    device_jpeg: bool | None = None
     _jpeg: object = field(default=None, repr=False)
 
     def __post_init__(self):
@@ -58,6 +63,10 @@ class StreamingExecutor:
             from .. import Jpeg
 
             self._jpeg = Jpeg()
+        if self.device_jpeg is None:
+            import jax
+
+            self.device_jpeg = jax.default_backend() == 'tpu'
 
     def run(self, frames: Iterable[tuple[str, object]],
             on_result: Callable[[StreamResult], None] | None = None):
@@ -86,8 +95,9 @@ class StreamingExecutor:
                 except Exception as e:  # pragma: no cover - defensive
                     out_q.put(StreamResult(name=name, error=e))
 
+        use_device_jpeg = self._jpeg is not None and self.device_jpeg
         workers = []
-        if self._jpeg is not None:
+        if self._jpeg is not None and not use_device_jpeg:
             workers = [
                 threading.Thread(target=_jpeg_worker, daemon=True)
                 for _ in range(self.jpeg_workers)
@@ -125,9 +135,55 @@ class StreamingExecutor:
                 case ImageTransform.transpose:
                     return np.swapaxes(img, 0, 1)
 
+        def _device_transform(img, name):
+            """Orientation transform on device (mirrors _host_transform)."""
+            from .transform import ImageTransform
+
+            tf = self.processor.transforms
+            if isinstance(tf, dict):
+                tf = tf.get(name, ImageTransform.none)
+            match tf:
+                case ImageTransform.none:
+                    return img
+                case ImageTransform.rotate_90:
+                    return jnp.rot90(img, 1)
+                case ImageTransform.rotate_180:
+                    return jnp.rot90(img, 2)
+                case ImageTransform.rotate_270:
+                    return jnp.rot90(img, 3)
+                case ImageTransform.flip_horiz:
+                    return img[:, ::-1]
+                case ImageTransform.flip_vert:
+                    return img[::-1]
+                case ImageTransform.transverse:
+                    return img[::-1, ::-1]
+                case ImageTransform.transpose:
+                    return jnp.swapaxes(img, 0, 1)
+
         def _drain_device(batch):
             nonlocal pending
             names, out_dev = batch
+            if use_device_jpeg:
+                # Frames never leave the device unless keep_images asks;
+                # encode_jpeg transfers only the compressed stream.
+                for i, name in enumerate(names):
+                    try:
+                        img_dev = _device_transform(out_dev[i], name)
+                        data = self._jpeg.encode(
+                            img_dev, quality=self.jpeg_quality,
+                            entropy='device')
+                        r = StreamResult(
+                            name=name,
+                            image=np.asarray(img_dev)
+                            if self.keep_images else None,
+                            jpeg=np.asarray(data).tobytes(),
+                        )
+                    except Exception as e:  # pragma: no cover - defensive
+                        r = StreamResult(name=name, error=e)
+                    results.append(r)
+                    if on_result:
+                        on_result(r)
+                return
             host = np.asarray(out_dev)  # completes the async dispatch
             for i, name in enumerate(names):
                 img = np.ascontiguousarray(_host_transform(host[i], name))
