@@ -89,3 +89,77 @@ def test_bilateral_denoise_reduces_noise(rng):
     # amount=0 -> identity
     out0 = np.asarray(bilateral_denoise(jnp.asarray(noisy), 4.0, 0.2, 0.0))
     np.testing.assert_allclose(out0, noisy, atol=1e-6)
+
+
+def test_laplacian_auto_pad_selection():
+    """auto_max_supp: neutral params -> token pad (any pad is exact via the
+    identity-curve telescoping); non-neutral -> exact reference full pad;
+    a positive tolerance admits a bounded smaller pad."""
+    neutral = laplacian.LaplacianParams()  # shadows=highlights=1, clarity=0
+    assert laplacian.curve_deviation(neutral) == 0.0
+    assert laplacian.auto_max_supp(320, 256, neutral) == 32
+    # full pad for a small frame is already the token pad
+    assert laplacian.auto_max_supp(64, 64, neutral) == 32
+
+    strong = laplacian.LaplacianParams(shadows=0.6, highlights=1.4, clarity=0.3)
+    full = 1 << (laplacian.num_levels_for(320, 256) - 1)
+    assert laplacian.auto_max_supp(320, 256, strong) == full
+
+    mild = laplacian.LaplacianParams(shadows=0.98)
+    assert laplacian.auto_max_supp(320, 256, mild) == full  # exact by default
+    assert laplacian.auto_max_supp(320, 256, mild, pad_tolerance=1e-2) < full
+
+
+def test_laplacian_auto_pad_identity_bitwise(rng):
+    """Neutral params: 'auto' (pad 32) is BITWISE equal to the reference
+    full pad (128 at this size) with fp16 storage - the identity curve
+    makes the assembly telescope to padded[0] at every level, and f32
+    arithmetic noise (~2^-23) is rounded away by the fp16 storage."""
+    lum = (rng.random((256, 320)) * 0.9 + 0.05).astype(np.float32)
+    params = laplacian.LaplacianParams()
+    auto = np.asarray(jax.jit(
+        lambda x: laplacian.local_laplacian(x, params, max_supp='auto'))(jnp.asarray(lum)))
+    full = np.asarray(jax.jit(
+        lambda x: laplacian.local_laplacian(x, params, max_supp=None))(jnp.asarray(lum)))
+    np.testing.assert_array_equal(auto, full)
+    # the telescoped output is the input rounded through fp16 storage
+    np.testing.assert_array_equal(auto, lum.astype(np.float16).astype(np.float32))
+
+
+def test_laplacian_auto_pad_identity_f32_storage(rng):
+    """f32 storage keeps the arithmetic noise, so equality is tight-but-not
+    -bitwise: bounded by ~n_levels ulp-scale contributions."""
+    lum = (rng.random((256, 320)) * 0.9 + 0.05).astype(np.float32)
+    params = laplacian.LaplacianParams()
+    auto = np.asarray(jax.jit(lambda x: laplacian.local_laplacian(
+        x, params, storage_dtype=jnp.float32, max_supp='auto'))(jnp.asarray(lum)))
+    full = np.asarray(jax.jit(lambda x: laplacian.local_laplacian(
+        x, params, storage_dtype=jnp.float32, max_supp=None))(jnp.asarray(lum)))
+    np.testing.assert_allclose(auto, full, atol=1e-5)
+
+
+def test_laplacian_pad_sweep_marks_exactness_boundary(rng):
+    """Param sweep: where 'auto' picks a reduced pad its output must stay
+    within the admitted tolerance of the full-pad reference; where params
+    demand exactness 'auto' must select the full pad."""
+    lum = (rng.random((256, 320)) * 0.9 + 0.05).astype(np.float32)
+    full_pad = 1 << (laplacian.num_levels_for(320, 256) - 1)
+    tol = 5e-3
+    sweep = [
+        laplacian.LaplacianParams(),
+        laplacian.LaplacianParams(sigma=0.5),
+        laplacian.LaplacianParams(shadows=0.95, highlights=1.05),
+        laplacian.LaplacianParams(shadows=0.6, highlights=1.4, clarity=0.3),
+        laplacian.LaplacianParams(shadows=0.2, highlights=2.0, clarity=1.0),
+    ]
+    for params in sweep:
+        pad = laplacian.auto_max_supp(320, 256, params, pad_tolerance=tol)
+        full = np.asarray(jax.jit(lambda x, p=params: laplacian.local_laplacian(
+            x, p, max_supp=None))(jnp.asarray(lum)))
+        if pad == full_pad:
+            # exactness requires the full pad here: dev too large for tol
+            assert laplacian.curve_deviation(params) > 0.0
+            continue
+        out = np.asarray(jax.jit(lambda x, p=params, s=pad: laplacian.local_laplacian(
+            x, p, max_supp=s))(jnp.asarray(lum)))
+        assert np.abs(out - full).max() <= tol, (params, pad)

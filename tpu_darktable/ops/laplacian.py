@@ -47,6 +47,62 @@ def num_levels_for(width: int, height: int) -> int:
     return min(MAX_LEVELS, int(math.floor(math.log2(min(width, height)))))
 
 
+def curve_deviation(params: LaplacianParams) -> float:
+    """Upper bound on |curve(x, g) - x| over x in [0, 1+sigma], any g.
+
+    The remap curve (laplacian.cu:266-290) decomposes as identity + delta:
+    the linear branch gives delta = (shadhi - 1)(c - ssigma), the bezier
+    branch |delta| <= |shadhi - 1| * 2 sigma, and the clarity term peaks at
+    |clarity| * sigma/sqrt(3) * e^{-1/2} ~= 0.35 sigma |clarity|.
+    """
+    dev_sh = max(abs(params.shadows - 1.0), abs(params.highlights - 1.0))
+    return dev_sh * (1.0 + params.sigma) + 0.35 * params.sigma * abs(params.clarity)
+
+
+def auto_max_supp(
+    width: int,
+    height: int,
+    params: LaplacianParams,
+    pad_tolerance: float = 0.0,
+) -> int:
+    """Smallest boundary pad reproducing the reference full-pad result.
+
+    The reference always pads by 1 << (n_levels - 1) (laplacian.cu:415-418),
+    2.5x the pixel count at 12MP.  The output's pad dependence is carried
+    entirely by the curve's deviation from identity: writing curve = id +
+    delta, the identity component telescopes exactly through the
+    coarse-to-fine assembly (output_l = expand(output_{l+1}) + (padded_l -
+    expand(padded_{l+1})) collapses to output_l = padded_l by induction, at
+    every position of every level, for any pad).  Hence:
+
+    - delta == 0 (shadows == highlights == 1, clarity == 0, the parameter
+      defaults): ANY pad is exact - with fp16 pyramid storage bitwise so,
+      since per-stage float32 rounding error (~2^-23 relative) is far below
+      the fp16 half-ulp (2^-12) the storage rounds through.  A token pad
+      of 32 keeps every level >= 3 px for the boundary clamps.
+    - delta != 0: pad effects enter only through levels whose outer-edge
+      clamp rows reach the crop's dependence cone (levels with
+      8 * 2^l > pad; the corrupted margin fixed point is ~4 level-pixels).
+      Each such level contributes O(curve_deviation) to the crop.  With
+      pad_tolerance == 0 (default) the exact full pad is used; a positive
+      tolerance admits the smallest pad whose calibrated bound
+      0.01 * curve_deviation * n_corrupted_levels stays within it.
+    """
+    n_levels = num_levels_for(width, height)
+    full = 1 << (n_levels - 1)
+    dev = curve_deviation(params)
+    if dev == 0.0:
+        return min(32, full)
+    if pad_tolerance > 0.0:
+        pad = 32
+        while pad < full:
+            n_corrupt = sum(1 for l in range(n_levels) if (8 << l) > pad)
+            if 0.01 * dev * n_corrupt <= pad_tolerance:
+                return pad
+            pad *= 2
+    return full
+
+
 def _gauss_reduce(fine, ch: int, cw: int, storage):
     """5x5 [1,4,6,4,1]/16 reduce with edge rows copied from their neighbors
     (gauss_reduce_half, laplacian.cu:178-218)."""
@@ -110,7 +166,8 @@ def local_laplacian(
     mono,
     params: LaplacianParams = LaplacianParams(),
     storage_dtype=jnp.float16,
-    max_supp: int | None = None,
+    max_supp: int | str | None = 'auto',
+    pad_tolerance: float = 0.0,
 ):
     """Local-Laplacian filter an (H, W) luminance plane
     (LaplacianImpl::process, laplacian.cu:442-479).
@@ -119,9 +176,12 @@ def local_laplacian(
     (float16 for parity; float32/bfloat16 for speed on TPU).
 
     `max_supp` overrides the boundary pad (reference: 1 << (n_levels - 1),
-    laplacian.cu:416).  Boundary effects decay inward level by level, so a
-    smaller pad can leave the cropped interior numerically unchanged while
-    shrinking the padded working set substantially at large sizes.
+    laplacian.cu:416).  The default 'auto' picks the smallest pad that
+    provably reproduces the full-pad result from the actual parameter
+    values (see auto_max_supp: neutral shadows/highlights/clarity make the
+    remap curve the identity, for which any pad is exact; non-neutral
+    params keep the exact reference pad unless `pad_tolerance` admits a
+    bounded-error smaller one).  None = always the reference full pad.
     """
     x = jnp.asarray(mono, dtype=_F32)
     if x.ndim != 2:
@@ -134,7 +194,9 @@ def local_laplacian(
     highlights, clarity = params.highlights, params.clarity
 
     n_levels = num_levels_for(w, h)
-    if max_supp is None:
+    if max_supp == 'auto':
+        max_supp = auto_max_supp(w, h, params, pad_tolerance)
+    elif max_supp is None:
         max_supp = 1 << (n_levels - 1)
     bw, bh = w + 2 * max_supp, h + 2 * max_supp
 
@@ -184,4 +246,10 @@ def local_laplacian(
     return output.astype(_F32)[max_supp : max_supp + h, max_supp : max_supp + w]
 
 
-__all__ = ['LaplacianParams', 'local_laplacian', 'num_levels_for']
+__all__ = [
+    'LaplacianParams',
+    'auto_max_supp',
+    'curve_deviation',
+    'local_laplacian',
+    'num_levels_for',
+]
