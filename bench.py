@@ -3,31 +3,84 @@
 
 Measures the flagship path (decode12 -> WB -> RCD -> postprocess -> Wiener ->
 bilateral -> metrics -> adaptive tonemap -> uint8) as ONE jitted XLA program,
-the BASELINE.json north-star configuration.  Prints one JSON line.
+the BASELINE.json north-star configuration.  Prints one JSON line (stdout
+carries nothing else; progress goes to stderr).
 
-Driver-proofing (round-3, after BENCH_r02 rc=124): the measurement runs in a
-child process under a wall-clock budget; if the child stalls (fresh Mosaic
-compile, erratic remote compile service, chip contention) it is killed and a
-cheaper configuration is tried.  A real JSON line always beats a timeout:
+Driver-proofing (round 3; BENCH_r02 was rc=124 because the persistent compile
+cache did not survive to the bench host, so every ladder rung hit a fresh
+multi-minute compile).  The measurement runs in budgeted child processes and
+the ladder adapts to the cache state recorded in a warm-marker file:
 
-  attempt 1: default config (RCD Pallas interior on)   budget TD_BENCH_COMPILE_BUDGET (240s)
-  attempt 2: TD_RCD_PALLAS=0 (pure XLA path)           budget 180s
-  attempt 3: TD_RCD_PALLAS=0, batch 2                  budget 120s
+  warm (marker matches current code): FULL config first (batch 16, Pallas RCD
+      interior; cached reload ~20 s), BANK as fallback.
+  cold: BANK first (batch 2, XLA-only; fresh compile ~70 s) to guarantee a
+      real JSON line, then XLA16 (batch 16, XLA-only) to upgrade it.  The
+      FULL config is never attempted cold - its Mosaic compile alone can
+      take 5-25 min on this host and cannot fit any ladder budget.
+
+Worst-case wall-clock is ~370 s cold / ~120 s warm, inside any plausible
+driver timeout.  A real fps line always beats a timeout.
 
 Env knobs: TD_BENCH_BATCH (default 16), TD_BENCH_ITERS (default 5),
 TD_BENCH_W/TD_BENCH_H (default 4096x3000), TD_BENCH_COMPILE_BUDGET (seconds,
-default 240; set 0 to run in-process with no budget/fallback).
+default 240; set 0 to run in-process with no budget/fallback - this is also
+how the round-end cache warm is done).
 
 Note: on the axon TPU tunnel, block_until_ready() does not synchronize;
 completion is fenced by materializing the small metrics output of the same
 executable.
 """
 
+import hashlib
 import json
 import os
 import subprocess
 import sys
 import time
+
+_MARKER_PATH = os.path.expanduser('~/.cache/tpu_darktable/bench_warm.json')
+
+
+def _identity():
+    """Hash of everything that keys the persistent compile cache for this
+    bench: package source, jax version, and the bench shape env knobs."""
+    h = hashlib.sha256()
+    try:
+        import jax
+        h.update(jax.__version__.encode())
+    except Exception:
+        pass
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tpu_darktable')
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs[:] = sorted(d for d in dirs if d != '__pycache__')
+        for f in sorted(files):
+            if f.endswith('.py'):
+                p = os.path.join(root, f)
+                h.update(f.encode())
+                with open(p, 'rb') as fh:
+                    h.update(fh.read())
+    for k in ('TD_BENCH_BATCH', 'TD_BENCH_ITERS', 'TD_BENCH_W', 'TD_BENCH_H'):
+        h.update(f'{k}={os.environ.get(k, "")};'.encode())
+    return h.hexdigest()
+
+
+def _read_markers():
+    try:
+        with open(_MARKER_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _write_marker(config_name: str, identity: str):
+    try:
+        os.makedirs(os.path.dirname(_MARKER_PATH), exist_ok=True)
+        markers = _read_markers()
+        markers[config_name] = identity
+        with open(_MARKER_PATH, 'w') as f:
+            json.dump(markers, f)
+    except Exception as e:  # marker is an optimization, never fatal
+        print(f'[bench] marker write failed: {e}', file=sys.stderr)
 
 
 def _bench_child():
@@ -99,22 +152,47 @@ def _bench_child():
     return 0
 
 
+# Ladder configs: name -> env overrides.  FULL is the graded flagship
+# configuration; XLA16 drops only the Pallas RCD interior (whose fresh Mosaic
+# compile is unboundable); BANK additionally drops to batch 2 for the fastest
+# possible cold compile.
+_CONFIGS = {
+    'FULL': {},
+    'XLA16': {'TD_RCD_PALLAS': '0'},
+    'BANK': {'TD_RCD_PALLAS': '0', 'TD_BENCH_BATCH': '2'},
+}
+
+
 def main():
     budget = float(os.environ.get('TD_BENCH_COMPILE_BUDGET', '240'))
     if '--child' in sys.argv or budget <= 0:
-        return _bench_child()
+        rc = _bench_child()
+        if rc == 0 and budget <= 0:
+            # In-process run (round-end warm): record the cache as warm for
+            # the config selected by the current env.
+            name = 'FULL'
+            if os.environ.get('TD_RCD_PALLAS', '1') == '0':
+                name = 'BANK' if os.environ.get('TD_BENCH_BATCH') == '2' else 'XLA16'
+            _write_marker(name, _identity())
+        return rc
 
-    # Fallback ladder: (env overrides, wall-clock budget in seconds).
-    # Worst-case total ~470s, inside any plausible driver timeout.
-    attempts = [
-        ({}, budget),
-        ({'TD_RCD_PALLAS': '0'}, 160.0),
-        ({'TD_RCD_PALLAS': '0', 'TD_BENCH_BATCH': '2'}, 100.0),
-    ]
-    for i, (overrides, timeout_s) in enumerate(attempts, 1):
+    identity = _identity()
+    markers = _read_markers()
+    if markers.get('FULL') == identity:
+        plan = [('FULL', budget), ('BANK', 150.0)]
+    elif markers.get('XLA16') == identity:
+        plan = [('XLA16', 200.0), ('BANK', 150.0)]
+    else:
+        print('[bench] compile cache looks cold for this code state; '
+              'banking a cheap config first', file=sys.stderr, flush=True)
+        plan = [('BANK', 150.0), ('XLA16', 200.0)]
+
+    best = None  # (value, line)
+    for i, (name, timeout_s) in enumerate(plan, 1):
+        overrides = _CONFIGS[name]
         env = dict(os.environ)
         env.update(overrides)
-        print(f'[bench] attempt {i}/{len(attempts)} {overrides or "(default)"} '
+        print(f'[bench] attempt {i}/{len(plan)} {name} {overrides or "(default)"} '
               f'budget {timeout_s:.0f}s', file=sys.stderr, flush=True)
         try:
             res = subprocess.run(
@@ -122,8 +200,8 @@ def main():
                 env=env, timeout=timeout_s, capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired as e:
-            print(f'[bench] attempt {i} exceeded {timeout_s:.0f}s budget, killed',
-                  file=sys.stderr, flush=True)
+            print(f'[bench] attempt {i} ({name}) exceeded {timeout_s:.0f}s budget, '
+                  'killed', file=sys.stderr, flush=True)
             if e.stderr:
                 err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode(
                     'utf-8', 'replace')
@@ -136,9 +214,19 @@ def main():
             None,
         )
         if res.returncode == 0 and line:
-            print(line)
-            return 0
-        print(f'[bench] attempt {i} failed rc={res.returncode}', file=sys.stderr, flush=True)
+            _write_marker(name, identity)
+            value = json.loads(line).get('value', 0.0)
+            if best is None or value > best[0]:
+                best = (value, line)
+            if name == 'FULL':
+                break  # flagship config measured; nothing better to try
+        else:
+            print(f'[bench] attempt {i} ({name}) failed rc={res.returncode}',
+                  file=sys.stderr, flush=True)
+
+    if best is not None:
+        print(best[1])
+        return 0
     print('[bench] all attempts failed', file=sys.stderr, flush=True)
     return 1
 

@@ -126,11 +126,20 @@ def test_pallas_core_matches_xla_path(rng):
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
-def test_bf16_spectral_storage_within_budget(rng):
-    """Opt-in bf16 storage of the spectral tensors stays inside the 1e-3
-    parity budget (measured ~5e-4; fp32 default is ~3e-5)."""
-    img = rng.random((72, 88, 1)).astype(np.float32)
+def test_f16_storage_error_budget(rng):
+    """f16 storage of ALL big intermediates (the pipeline default via
+    settings.denoise_f16) stays inside the 1e-3 parity budget.
+
+    Sized (256, 320) so the SEPARABLE fast path actually runs - at k=32 it
+    requires h > max(2k, n_ty*k - stride - h); the earlier (72, 88) test
+    silently exercised the gather fallback, where the storage knobs are
+    inert.  Measured: f16 ~4e-4 (budgeted), bf16 1.4e-3+ (rejected - the
+    spectra need fp16's mantissa, see BASELINE.md round 3)."""
+    img = rng.random((256, 320, 1)).astype(np.float32)
     ref = _wiener_numpy_reference(img.astype(np.float64), 0.05, 32, 4)
-    out = np.asarray(wiener.wiener_denoise(
-        jnp.asarray(img), 0.05, 32, 4, spectral_dtype=jnp.bfloat16))
-    assert np.abs(out - ref).max() < 1e-3
+    out32 = np.asarray(wiener.wiener_denoise(jnp.asarray(img), 0.05, 32, 4))
+    assert np.abs(out32 - ref).max() < 2e-4  # separable path, fp32
+    out16 = np.asarray(wiener.wiener_denoise(
+        jnp.asarray(img), 0.05, 32, 4,
+        spectral_dtype=jnp.float16, storage_dtype=jnp.float16))
+    assert np.abs(out16 - ref).max() < 1e-3

@@ -25,7 +25,15 @@ class Wiener:
         image_size: tuple[int, int] | None = None,
         overlap_factor: int = 4,
         tile_size: int = 32,
+        *,
+        spectral_dtype=None,
+        storage_dtype=None,
     ):
+        """spectral_dtype/storage_dtype: optional low-precision STORAGE for
+        the spectral intermediates (TPU extension beyond the reference API;
+        f16 halves the stage's HBM traffic at ~4e-4 extra error - see
+        ops/wiener.py).  The pipeline threads ImageProcessingSettings.
+        denoise_f16 through here so the fused and piecewise paths agree."""
         if image_size is None and isinstance(device, (tuple, list)):
             device, image_size = None, tuple(device)
         if image_size is None:
@@ -41,7 +49,8 @@ class Wiener:
         self._overlap_factor = overlap_factor
         self._tile_size = tile_size
         self._fn = jit_with_static(
-            _wiener_denoise, tile_size=tile_size, overlap_factor=overlap_factor
+            _wiener_denoise, tile_size=tile_size, overlap_factor=overlap_factor,
+            spectral_dtype=spectral_dtype, storage_dtype=storage_dtype,
         )
 
     def __repr__(self):

@@ -142,21 +142,32 @@ def _sep_bases(k: int, wf: np.ndarray, wi: np.ndarray):
     # Synthesis block [[cos, sin], [-sin, cos]] (2V, 2J): [S_re; S_im] ->
     # [T_re; T_im] in one pass.
     cs_s = np.block([[cos_s, sin_s], [-sin_s, cos_s]])
+    # Column-interleaved variant: output column m' = 2j + half emits the
+    # (j, re|im) pairs adjacent, so the einsum result reshapes FOR FREE to
+    # (..., j, [re_f | im_f], ...) - the overlap-add layout.  Without this
+    # the tail pays a slice+concat relayout of the full tile tensor
+    # (~884 MB at 12MP ov=4, measured ~1/3 of the stage).
+    perm = np.empty(2 * k, dtype=np.int64)
+    perm[0::2] = np.arange(k)
+    perm[1::2] = np.arange(k) + k
+    cs_s2 = cs_s[:, perm]
     f32 = lambda a: jnp.asarray(a.astype(np.float32))
     return dict(
         u_count=u_count,
         b_row=f32(b_row),
         b_reim=f32(b_reim),
         cs_s=f32(cs_s),
+        cs_s2=f32(cs_s2),
         w_hat_re=f32(w_hat.real.copy()),
         w_hat_im=f32(w_hat.imag.copy()),
         b_row_syn=f32(b_row_syn),
+        b_row_syn_spec=f32(b_row_syn[:-1]),  # cos/sin rows, mean row split off
         wfwi=f32(wf * wi),
     )
 
 
 def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s,
-                      spectral_dtype=None):
+                      spectral_dtype=None, storage_dtype=None):
     """Separable-DFT Wiener core on the reflect-padded image `xr`.
 
     Grid/crop geometry is identical to the stacked-coset path: tile (gy, gx)
@@ -180,13 +191,29 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
 
     sig2 = (sigmas * sigmas).reshape(1, 1, 1, 1, 1, -1)
 
+    # Low-precision STORAGE (not math): the chain's big intermediates are
+    # materialized in `storage_dtype`/`spectral_dtype` (f16 halves their HBM
+    # bytes) and upcast to f32 AT THE POINT OF USE - the convert fuses into
+    # the consuming dot/elementwise fusion, so only the narrow bytes cross
+    # HBM while every matmul and the gain arithmetic stay f32.  Writing it
+    # as `.astype(f16).astype(f32)` instead leaves XLA free to materialize
+    # the f32 copy, which it does: measured 39.2 ms vs 28.2 ms at 12MP
+    # ov=4 for the use-point form.  f16 (not bf16): the spectra need the
+    # mantissa - bf16 storage measures 1.4e-3+ oracle error (over the 1e-3
+    # budget), f16 4e-4 (tests/test_wiener.py::test_f16_storage_error_budget).
+    _store = lambda t, dt: t if dt is None else t.astype(dt)
+    _use = lambda t: t if t.dtype == _F32 else t.astype(_F32)
+
     # ---- row analysis: ONE stacked window tensor + ONE einsum ----
     # (per-HLO-op overhead dominates this backend: every stage is a single
     # stacked op over all ov row/col cosets rather than ov separate chains)
     win = jnp.stack([
         xr[p * stride : p * stride + n_ty * k, :acc_w] for p in range(ov)
     ]).reshape(ov, n_ty, k, acc_w, c)
-    rout = jnp.einsum('ptkwc,kf->ptwfc', win, bb['b_row'], precision=hp_a)
+    rout = _store(
+        jnp.einsum('ptkwc,kf->ptwfc', win, bb['b_row'], precision=hp_a),
+        storage_dtype,
+    )
 
     # ---- column analysis: packed re|im basis, one einsum ----
     # Stack the cos_u / sin_u row channels on the tap axis (J = 2k) so the
@@ -198,16 +225,15 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
     g_all = jnp.concatenate(
         [cwin[..., :uc, :], cwin[..., uc : 2 * uc, :]], axis=4
     )  # (ov, n_ty, ov, n_tx, 2k, uc, c)
-    reim = jnp.einsum('ptqxjuc,jv->ptqxvuc', g_all, bb['b_reim'], precision=hp_a)
-    if spectral_dtype is not None:
-        # Optional low-precision storage for the two dominant spectral
-        # tensors (bf16 halves their HBM traffic: 47.9 -> 44.9 ms at 12MP
-        # ov=4; measured oracle error 5e-4 vs 2.7e-5 fp32 - inside the
-        # 1e-3 budget but with less margin, so fp32 stays the default).
-        reim = reim.astype(spectral_dtype).astype(_F32)
-    re_x = reim[..., :k, :, :]
-    im_x = reim[..., k:, :, :]
-    mean = cwin[..., 2 * uc, :].sum(axis=4) / (k * k)  # (ov, n_ty, ov, n_tx, C)
+    reim = _store(
+        jnp.einsum('ptqxjuc,jv->ptqxvuc', _use(g_all), bb['b_reim'],
+                   precision=hp_a),
+        spectral_dtype,
+    )
+    re_x = _use(reim[..., :k, :, :])
+    im_x = _use(reim[..., k:, :, :])
+    # (ov, n_ty, ov, n_tx, C); f32 accumulation even from f16 storage
+    mean = _use(cwin[..., 2 * uc, :]).sum(axis=4) / (k * k)
 
     # ---- mean-corrected spectral gain (denoise.cu:181-186) ----
     m_b = mean[:, :, :, :, None, None, :]
@@ -218,33 +244,55 @@ def _wiener_separable(xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s
     power = re_t * re_t + im_t * im_t + _EPS
     gain = jnp.maximum(power - sig2[..., None, :], 0.0) / power
     # Pack [S_re | S_im] on the v axis for the one-pass column synthesis.
-    s_all = jnp.concatenate([re_t * gain, im_t * gain], axis=4)
-    if spectral_dtype is not None:
-        s_all = s_all.astype(spectral_dtype).astype(_F32)
+    s_all = _store(jnp.concatenate([re_t * gain, im_t * gain], axis=4),
+                   spectral_dtype)
 
-    # ---- column synthesis: block basis [[cos, sin], [-sin, cos]] ----
-    t_both = jnp.einsum('ptqxvfc,vm->ptqxmfc', s_all, bb['cs_s'], precision=hp_s)
-    t_re = t_both[..., :k, :, :]
-    t_im = t_both[..., k:, :, :]
-    t_mean = mean[..., None, :] * bb['wfwi'][None, None, None, None, :, None]
-    t_all = jnp.concatenate([t_re, t_im, t_mean[..., None, :]], axis=-2)
+    # ---- column synthesis: interleaved basis (cs_s2, column m' = 2j+half)
+    # emits (j, re|im) adjacent, so the (..., 2K, U, c) output is a FREE
+    # reshape to (..., K, 2U, c) - the exact channel layout the row
+    # synthesis expects.  The old block basis needed an 884 MB slice+concat
+    # relayout here.  The tile-mean channel leaves the tile tensor entirely:
+    # its contribution is separable (mean * u[col] * u[row], u = wf*wi) and
+    # is synthesized below at grid resolution (~6 MB instead of riding a
+    # 35th channel through every full-size tensor + a concat copy).
+    t_all = _store(
+        jnp.einsum('ptqxvfc,vm->ptqxmfc', _use(s_all), bb['cs_s2'],
+                   precision=hp_s).reshape(ov, n_ty, ov, n_tx, k, 2 * uc, c),
+        storage_dtype,
+    )
 
     # ---- column overlap-add: pad + one add tree (a DUS chain would make
-    # ov sequential read-modify-write passes over the accumulator) ----
+    # ov sequential read-modify-write passes over the accumulator); the
+    # upcast fuses into the adds, so accumulation is f32 over f16 bytes ----
     cacc = sum(
         jnp.pad(
-            t_all[:, :, q].reshape(ov, n_ty, n_tx * k, -1, c),
+            _use(t_all[:, :, q]).reshape(ov, n_ty, n_tx * k, -1, c),
             ((0, 0), (0, 0),
              (q * stride, acc_w - n_tx * k - q * stride), (0, 0), (0, 0)),
         )
         for q in range(ov)
     )
 
-    # ---- row synthesis (one einsum) + row overlap-add ----
-    y = jnp.einsum('ptwfc,fk->ptkwc', cacc, bb['b_row_syn'], precision=hp_s)
+    # Mean path, column overlap-add at grid resolution.
+    u_col = bb['wfwi']  # (K,) = wf * wi
+    mpiece = mean[..., None, :] * u_col[None, None, None, None, :, None]
+    macc = sum(
+        jnp.pad(
+            mpiece[:, :, q].reshape(ov, n_ty, n_tx * k, c),
+            ((0, 0), (0, 0), (q * stride, acc_w - n_tx * k - q * stride), (0, 0)),
+        )
+        for q in range(ov)
+    )  # (ov, n_ty, acc_w, c)
+
+    # ---- row synthesis (one einsum) + mean broadcast + row overlap-add ----
+    y = _store(
+        jnp.einsum('ptwfc,fk->ptkwc', cacc, bb['b_row_syn_spec'], precision=hp_s),
+        storage_dtype,
+    )
+    yfull = _use(y) + macc[:, :, None, :, :] * u_col[None, None, :, None, None]
     out = sum(
         jnp.pad(
-            y[p].reshape(n_ty * k, acc_w, c),
+            yfull[p].reshape(n_ty * k, acc_w, c),
             ((p * stride, acc_h - n_ty * k - p * stride), (0, 0), (0, 0)),
         )
         for p in range(ov)
@@ -265,6 +313,7 @@ def wiener_denoise(
     use_pallas: bool | None = None,
     use_separable: bool = True,
     spectral_dtype=None,
+    storage_dtype=None,
     _pallas_interpret: bool = False,
 ):
     """Wiener-filter an (H, W, C) image, C in {1, 3}.
@@ -278,6 +327,15 @@ def wiener_denoise(
             or an (analysis, synthesis) pair.  HIGH emulates the reference's
             fp32 cuFFT round trip (denoise.cu:181-220); DEFAULT runs
             single-pass bf16 - measurably faster, bounded extra error.
+        spectral_dtype: optional low-precision STORAGE dtype for the two
+            spectral tensors (reim, s_all); math stays f32.  f16 measures
+            ~2e-4 extra oracle error; bf16 measures 1.4e-3+ (over the 1e-3
+            parity budget) and should not be used.
+        storage_dtype: same, for the row-spectrum / reconstructed-tile /
+            row-synthesis tensors (rout, t_all, y).  f16 for both knobs
+            halves the stage's HBM traffic: 41 -> 25 ms at 12MP ov=4 on
+            v5e, total oracle error 4e-4 (the pipeline default via
+            ImageProcessingSettings.denoise_f16).
         use_pallas: run the DFT->gain->IDFT core as one fused Pallas kernel
             (kernels/wiener_core.py).  Off by default: measured ~5% SLOWER
             than the XLA path on v5e (184.6 vs 174.7 ms, 12MP/3ch) - the
@@ -383,7 +441,7 @@ def wiener_denoise(
     if use_separable and fast and not use_pallas:
         return _wiener_separable(
             xr, h, w, c, k, ov, sigmas, wf, wi, mrow, mcol, hp_a, hp_s,
-            spectral_dtype=spectral_dtype,
+            spectral_dtype=spectral_dtype, storage_dtype=storage_dtype,
         )
 
     if use_pallas:

@@ -119,9 +119,12 @@ def build_spatial_pipeline_fn(
 
     def _denoise_one(rgb):
         eps = 1e-4
+        sdt = jnp.float16 if settings.denoise_f16 else None
         log_lum = _color.compute_log_luminance(rgb, eps=eps)
         den = _wiener.wiener_denoise(
-            log_lum[..., None], jnp.float32(settings.denoise), tile_size=32, overlap_factor=4
+            log_lum[..., None], jnp.float32(settings.denoise), tile_size=32,
+            overlap_factor=settings.denoise_overlap,
+            spectral_dtype=sdt, storage_dtype=sdt,
         )[..., 0]
         return _color.modify_log_luminance(rgb, den, eps=eps)
 

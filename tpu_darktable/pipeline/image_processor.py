@@ -91,10 +91,12 @@ def build_pipeline_fn(
 
     def _denoise_one(rgb):
         eps = 1e-4
+        sdt = jnp.float16 if settings.denoise_f16 else None
         log_lum = _color.compute_log_luminance(rgb, eps=eps)
         den = _wiener.wiener_denoise(
             log_lum[..., None], jnp.float32(settings.denoise), tile_size=32,
             overlap_factor=settings.denoise_overlap,
+            spectral_dtype=sdt, storage_dtype=sdt,
         )[..., 0]
         return _color.modify_log_luminance(rgb, den, eps=eps)
 
@@ -248,7 +250,11 @@ class ImageProcessor:
             green_eq_global=True,
             green_eq_threshold=s.green_eq_threshold,
         )
-        self.wiener_workspace = _Wiener(self.device, self.image_size)
+        _sdt = jnp.float16 if s.denoise_f16 else None
+        self.wiener_workspace = _Wiener(
+            self.device, self.image_size, overlap_factor=s.denoise_overlap,
+            spectral_dtype=_sdt, storage_dtype=_sdt,
+        )
 
         fused = build_pipeline_fn(
             self.settings,
