@@ -43,6 +43,15 @@ try:  # fully-fused splat/blur/slice kernel (integer-sigma fast path)
 except Exception:  # pragma: no cover
     _bilateral_fused = None
 
+try:  # band-resident fused kernel, generation 2 (the TPU default path)
+    from ..kernels.bilateral_band import (
+        bilateral_band as _bilateral_band,
+        bilateral_band_vmem_ok as _bilateral_band_vmem_ok,
+        riffle_phases as _riffle_phases,
+    )
+except Exception:  # pragma: no cover
+    _bilateral_band = None
+
 _F32 = jnp.float32
 
 
@@ -150,6 +159,7 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
                       _force_general: bool = False,
                       _use_pallas_blur: bool | None = None,
                       _use_fused_kernel: bool = False,
+                      _use_band_kernel: bool | None = None,
                       _pallas_interpret: bool = False):
     """Detail boost on an (H, W) luminance plane (BilateralImpl::process,
     bilateral.cu:358-385).
@@ -197,6 +207,35 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
             l_diff = _bilateral_fused(
                 lum, s=s_int, gz=gz, sigma_r=float(sigma_r),
                 z_mode='derivative', bg=bg, interpret=_pallas_interpret)
+            norm = -detail * sigma_r * 4.0
+            return jnp.maximum(0.0, lum + norm * l_diff)
+
+    if fast and _bilateral_band is not None:
+        # Band-resident fused kernel, generation 2 (kernels/bilateral_band.py):
+        # columns phase-decomposed XLA-side, rows resampled in-kernel on
+        # sublanes, ~6 lane shifts per z slab.  Measured 5.97 vs 12.61 ms at
+        # 12MP sigma_s=2 (bg=64), float-rounding equal to the XLA chain
+        # (1.2e-7).  Auto = TPU backend + >= 4MP (fresh Mosaic compile ~70 s
+        # per shape; the persistent cache makes reloads fast).  Override with
+        # TD_BILATERAL_PALLAS=1/0 or _use_band_kernel.
+        use_band = _use_band_kernel
+        if use_band is None:
+            import os
+            env = os.environ.get('TD_BILATERAL_PALLAS')
+            if env in ('0', '1'):
+                use_band = env == '1'
+            else:
+                use_band = (jax.default_backend() == 'tpu'
+                            and h * w >= 4_000_000
+                            and not _pallas_interpret)
+        if use_band:
+            for bg in (64, 32, 16, 8):
+                if _bilateral_band_vmem_ok(s_int, gz, w, bg):
+                    break
+            ph = _bilateral_band(
+                lum, s=s_int, gz=gz, sigma_r=float(sigma_r),
+                z_mode='derivative', bg=bg, interpret=_pallas_interpret)
+            l_diff = _riffle_phases(ph, w)
             norm = -detail * sigma_r * 4.0
             return jnp.maximum(0.0, lum + norm * l_diff)
 

@@ -130,8 +130,11 @@ def build_spatial_pipeline_fn(
 
     def _bilateral_one(rgb):
         lum = _color.compute_luminance(rgb)
+        # XLA path under shard_map (like the grid blur above): the Pallas
+        # band kernel is single-device tuned and untestable per-shard here.
         out = _bilateral.bilateral_process(
-            lum, settings.bil_sigma_spatial, settings.bil_sigma_luminance, settings.bilateral
+            lum, settings.bil_sigma_spatial, settings.bil_sigma_luminance,
+            settings.bilateral, _use_band_kernel=False,
         )
         return _color.modify_luminance(rgb, out)
 
