@@ -19,10 +19,28 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache for the CPU test backend.  The suite is
+# dominated by hundreds of small XLA compiles serialized on this host's
+# single core; caching reuses the compiled programs across runs (the
+# numerics still execute every time - only the compile is skipped, and
+# any code change reshapes the HLO and recompiles).  Kept separate from
+# the package's TPU cache dir.
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.path.expanduser('~/.cache/tpu_darktable/jax_cache_cpu'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_enable_xla_caches', 'all')
+
 import numpy as np
 import pytest
 
 
-@pytest.fixture(scope='session')
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    # Deterministic per-test seed derived from the test id: adding or
+    # removing a test file can never reshuffle another test's draws (a
+    # shared session generator made every test's input depend on
+    # collection order).
+    import zlib
+
+    return np.random.default_rng(zlib.adler32(request.node.nodeid.encode()))

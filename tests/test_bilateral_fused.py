@@ -2,6 +2,8 @@
 (interpret mode on CPU).  Same formula, different assembly order - float
 rounding only."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -9,11 +11,15 @@ import pytest
 from tpu_darktable.ops import bilateral as B
 from tpu_darktable.kernels.bilateral_fused import bilateral_fused
 
+_slow = pytest.mark.skipif(
+    not os.environ.get('TD_RUN_SLOW_TESTS'),
+    reason='v1 kernel is an opt-in negative result; s=8 interpret is ~30 s')
+
 
 @pytest.mark.parametrize('h,w,s,sr', [
     (128, 192, 2, 0.2),
     (128, 256, 2, 0.1),   # gz = 11
-    (64, 128, 8, 0.2),
+    pytest.param(64, 128, 8, 0.2, marks=_slow),
 ])
 def test_fused_matches_xla_fast_path(h, w, s, sr, rng):
     lum = jnp.asarray((rng.random((h, w)) * 0.95).astype(np.float32))

@@ -154,12 +154,13 @@ def test_laplacian_pad_sweep_marks_exactness_boundary(rng):
     ]
     for params in sweep:
         pad = laplacian.auto_max_supp(320, 256, params, pad_tolerance=tol)
-        full = np.asarray(jax.jit(lambda x, p=params: laplacian.local_laplacian(
-            x, p, max_supp=None))(jnp.asarray(lum)))
         if pad == full_pad:
             # exactness requires the full pad here: dev too large for tol
+            # (skip the two jit compiles - both paths are the same program)
             assert laplacian.curve_deviation(params) > 0.0
             continue
+        full = np.asarray(jax.jit(lambda x, p=params: laplacian.local_laplacian(
+            x, p, max_supp=None))(jnp.asarray(lum)))
         out = np.asarray(jax.jit(lambda x, p=params, s=pad: laplacian.local_laplacian(
             x, p, max_supp=s))(jnp.asarray(lum)))
         assert np.abs(out - full).max() <= tol, (params, pad)

@@ -15,8 +15,17 @@ from tpu_darktable.ops.bayer import BayerPattern
 RING = R._RING
 
 
-@pytest.mark.parametrize('pattern', list(BayerPattern))
-@pytest.mark.parametrize('strict', [True, False])
+# All four patterns at strict=True, plus one strict=False case: `strict`
+# only changes the XLA ring assembly (the Pallas interior never sees it),
+# so the full 4x2 product re-runs the same interior kernel for no added
+# coverage at ~10 s of interpret time per case.
+@pytest.mark.parametrize('pattern,strict', [
+    (BayerPattern.RGGB, True),
+    (BayerPattern.BGGR, True),
+    (BayerPattern.GRBG, True),
+    (BayerPattern.GBRG, True),
+    (BayerPattern.RGGB, False),
+])
 def test_rcd_pallas_matches_xla(pattern, strict, rng):
     h, w = 128, 160
     x = jnp.asarray(rng.random((h, w)).astype(np.float32))
