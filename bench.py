@@ -153,13 +153,15 @@ def _bench_child():
 
 
 # Ladder configs: name -> env overrides.  FULL is the graded flagship
-# configuration; XLA16 drops only the Pallas RCD interior (whose fresh Mosaic
-# compile is unboundable); BANK additionally drops to batch 2 for the fastest
-# possible cold compile.
+# configuration (all Pallas kernels on); XLA16 drops the Pallas kernels
+# whose fresh Mosaic compiles are unboundable (RCD interior, bilateral
+# band); BANK additionally drops to batch 2 for the fastest possible cold
+# compile.
 _CONFIGS = {
     'FULL': {},
-    'XLA16': {'TD_RCD_PALLAS': '0'},
-    'BANK': {'TD_RCD_PALLAS': '0', 'TD_BENCH_BATCH': '2'},
+    'XLA16': {'TD_RCD_PALLAS': '0', 'TD_BILATERAL_PALLAS': '0'},
+    'BANK': {'TD_RCD_PALLAS': '0', 'TD_BILATERAL_PALLAS': '0',
+             'TD_BENCH_BATCH': '2'},
 }
 
 
