@@ -18,7 +18,8 @@ import tpu_darktable as td
 from tpu_darktable.pipeline.config import Debayer, ImageProcessingSettings, ToneMapper
 from tpu_darktable.pipeline.image_processor import build_pipeline_fn
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+_num_args = [a for a in sys.argv[1:] if a.isdigit()]
+B = int(_num_args[0]) if _num_args else 16
 W, H = 4096, 3000
 
 VARIANTS = {
