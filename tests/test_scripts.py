@@ -233,6 +233,71 @@ def test_histogram_ui_component(raw_file):
     plt.close(fig)
 
 
+def test_histogram_mode_renderer_reference_semantics(raw_file):
+    """draw_mode_histograms (reference create_histograms:18-63): full (0,1)
+    range including saturated samples, per-mode titles, green halved only
+    in 'all' mode."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from tpu_darktable.scripts.view_raw.histogram_display import (
+        draw_mode_histograms)
+    from tpu_darktable.scripts.view_raw.pipeline_ui import PipelineController
+
+    path, settings = raw_file
+    c = PipelineController(settings, [path])
+    bayer = np.asarray(c.current_bayer())
+
+    fig, ax = plt.subplots()
+    draw_mode_histograms(ax, bayer, settings.bayer_pattern, 'all')
+    assert ax.get_title() == 'RGB Channels'
+    assert ax.get_ylabel() == 'Count (Normalized)'
+    # Full range: the last bin edge reaches 1.0 (saturated samples stay in).
+    assert max(p.get_x() + p.get_width() for p in ax.patches) >= 1.0 - 1e-9
+
+    ax.clear()
+    draw_mode_histograms(ax, bayer, settings.bayer_pattern, 'green')
+    assert ax.get_title() == 'Green Channel'
+    assert ax.get_ylabel() == 'Count'  # lone green view shows raw counts
+    n_green_pixels = bayer.size // 2
+    assert sum(p.get_height() for p in ax.patches) == n_green_pixels
+    plt.close(fig)
+
+
+def test_horizontal_radio_layout():
+    """orientation='horizontal': labels flow left-to-right on <= 2 rows,
+    markers repositioned beside each label (reference ui_builder.py
+    horizontal panel style)."""
+    import matplotlib
+
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from tpu_darktable.scripts.view_raw.ui_builder import (
+        create_clean_axes, create_radio_buttons)
+
+    fig = plt.figure(figsize=(8, 6))
+    ax = create_clean_axes(fig, (0.1, 0.8, 0.8, 0.1))
+    rb = create_radio_buttons(ax, ['All', 'Red', 'Green', 'Blue'], 'All',
+                              orientation='horizontal')
+    pos = [t.get_position() for t in rb.labels]
+    ys = sorted({round(y, 3) for _, y in pos})
+    assert len(ys) <= 2
+    for y in ys:  # x strictly increases within each row
+        xs = [x for x, py in pos if round(py, 3) == y]
+        assert xs == sorted(xs) and len(set(xs)) == len(xs)
+
+    # A long label set must wrap to two rows rather than overflow.
+    ax2 = create_clean_axes(fig, (0.1, 0.6, 0.3, 0.1))
+    labels = ['linear', 'reinhard', 'aces', 'adaptive_aces', 'filmic']
+    rb2 = create_radio_buttons(ax2, labels, 'aces', orientation='horizontal')
+    ys2 = {round(t.get_position()[1], 3) for t in rb2.labels}
+    assert len(ys2) == 2
+    plt.close(fig)
+
+
 def test_ui_builder_layout():
     """VStack placement: rows advance downward, half panels pair up."""
     import matplotlib

@@ -48,6 +48,47 @@ def get_channel_means(bayer_image, pattern: BayerPattern):
     )
 
 
+def draw_mode_histograms(ax, bayer_image, pattern: BayerPattern,
+                         channel_mode: str = 'all', bins: int = 256):
+    """Single-mode histogram view for the embedded panel (mirror of
+    reference histogram_display.py:18-63 `create_histograms`): full (0, 1)
+    range with saturated pixels INCLUDED, per-mode titles, and the green
+    count halved only in 'all' mode (2x green sites per Bayer cell; a
+    lone green view shows raw counts)."""
+    ch = extract_bayer_channels(bayer_image, pattern)
+    r = ch['R']
+    g = np.concatenate([ch['G1'], ch['G2']])
+    b = ch['B']
+
+    if channel_mode == 'all':
+        ax.hist(r, bins=bins, color='red', alpha=0.6, range=(0, 1),
+                label='Red')
+        ax.hist(g, bins=bins, color='green', alpha=0.6, range=(0, 1),
+                label='Green', weights=np.full(g.size, 0.5))
+        ax.hist(b, bins=bins, color='blue', alpha=0.6, range=(0, 1),
+                label='Blue')
+        ax.set_title('RGB Channels', color='black')
+        ax.legend()
+    elif channel_mode == 'red':
+        ax.hist(r, bins=bins, color='red', alpha=0.8, range=(0, 1))
+        ax.set_title('Red Channel', color='black')
+    elif channel_mode == 'green':
+        ax.hist(g, bins=bins, color='green', alpha=0.8, range=(0, 1))
+        ax.set_title('Green Channel', color='black')
+    elif channel_mode == 'blue':
+        ax.hist(b, bins=bins, color='blue', alpha=0.8, range=(0, 1))
+        ax.set_title('Blue Channel', color='black')
+
+    ax.set_xlabel('Pixel Value', color='black')
+    ax.set_ylabel('Count (Normalized)' if channel_mode == 'all' else 'Count',
+                  color='black')
+    ax.set_facecolor('white')
+    ax.tick_params(colors='black')
+    for spine in ax.spines.values():
+        spine.set_color('black')
+    ax.grid(True, alpha=0.3)
+
+
 def draw_selective_histograms(ax, bayer_image, pattern: BayerPattern,
                               channel_states: dict, bins: int = 256,
                               saturation: float = 0.99):

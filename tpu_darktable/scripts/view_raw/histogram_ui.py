@@ -2,7 +2,9 @@
 
 Counterpart of reference view_raw/histogram_ui.py: a histogram panel that
 lives inside another figure, with an 'All / Red / Green / Blue' radio
-overlay and zoom-scale preservation when switching channel modes.
+overlay and zoom-scale preservation when switching channel modes.  Mode
+views use the full-range mode renderer (reference create_histograms);
+the saturation-filtered selective renderer belongs to the popup window.
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ import numpy as np
 
 from tpu_darktable.ops.bayer import BayerPattern
 
-from .histogram_display import draw_selective_histograms, get_channel_means
+from .histogram_display import draw_mode_histograms, get_channel_means
 from .ui_builder import create_clean_axes, create_radio_buttons
 
 _MODES = ('All', 'Red', 'Green', 'Blue')
@@ -27,10 +29,9 @@ class HistogramResult:
     needs_setup: bool = False
 
 
-def _states_for(mode: str) -> dict:
-    if mode == 'All':
-        return dict.fromkeys(('Red', 'Green', 'Blue'), True)
-    return {name: name == mode for name in ('Red', 'Green', 'Blue')}
+def _mode_key(mode: str) -> str:
+    """Radio label -> reference channel_mode ('all'/'red'/'green'/'blue')."""
+    return mode.lower()
 
 
 class HistogramDisplay:
@@ -47,8 +48,8 @@ class HistogramDisplay:
     def setup_display(self, fig, rect, bayer_image, pattern: BayerPattern) -> HistogramResult:
         """Create the panel inside `fig` at figure-coords `rect`."""
         self._axes = fig.add_axes(rect)
-        draw_selective_histograms(
-            self._axes, np.asarray(bayer_image), pattern, _states_for(self.channel_mode)
+        draw_mode_histograms(
+            self._axes, np.asarray(bayer_image), pattern, _mode_key(self.channel_mode)
         )
 
         left, bottom, width, height = rect
@@ -64,7 +65,8 @@ class HistogramDisplay:
         for spine in self._controls_axes.spines.values():
             spine.set_color('gray')
         self._radio = create_radio_buttons(
-            self._controls_axes, list(_MODES), self.channel_mode
+            self._controls_axes, list(_MODES), self.channel_mode,
+            orientation='horizontal',
         )
         return HistogramResult(display_info=self._info(bayer_image, pattern))
 
@@ -82,15 +84,15 @@ class HistogramDisplay:
         if mode_changed and self._xlim is not None:
             keep_x, keep_y = self._axes.get_xlim(), self._axes.get_ylim()
             self._axes.clear()
-            draw_selective_histograms(
-                self._axes, np.asarray(bayer_image), pattern, _states_for(self.channel_mode)
+            draw_mode_histograms(
+                self._axes, np.asarray(bayer_image), pattern, _mode_key(self.channel_mode)
             )
             self._axes.set_xlim(keep_x)
             self._axes.set_ylim(keep_y)
         else:
             self._axes.clear()
-            draw_selective_histograms(
-                self._axes, np.asarray(bayer_image), pattern, _states_for(self.channel_mode)
+            draw_mode_histograms(
+                self._axes, np.asarray(bayer_image), pattern, _mode_key(self.channel_mode)
             )
             self._xlim = self._axes.get_xlim()
             self._ylim = self._axes.get_ylim()

@@ -52,8 +52,100 @@ def fit_fontsize(fig, labels, avail_fraction: float, base: float = 8.0,
     return max(floor, base * avail_fraction / widest)
 
 
-def create_radio_buttons(ax, labels, active_label=None, fontsize: float | None = None):
-    """RadioButtons sized to their labels; returns the widget."""
+def _measure_axes_fractions(ax, labels, fontsize: float):
+    """(label_widths, marker_width, gap) as fractions of the axes width
+    (rendered metrics with a 15% margin; char-count fallback without a
+    renderer)."""
+    fig = ax.get_figure()
+    try:
+        fig.canvas.draw()
+        renderer = fig.canvas.get_renderer()
+        bbox = ax.get_window_extent(renderer=renderer)
+        if bbox.width <= 0:
+            raise ValueError('axes not laid out yet')
+        probe = ax.text(0, 0, '', fontsize=fontsize)
+        widths = []
+        for label in labels:
+            probe.set_text(label)
+            ext = probe.get_window_extent(renderer=renderer)
+            widths.append(ext.width / bbox.width * 1.15)
+        probe.set_text('M')
+        ext = probe.get_window_extent(renderer=renderer)
+        marker_w = ext.width / bbox.width
+        gap = ext.height / bbox.height * 0.3
+        probe.remove()
+        return widths, marker_w, gap
+    except Exception:
+        f = fontsize / 8.0
+        return [len(label) * 0.08 * f for label in labels], 0.05 * f, 0.015
+
+
+def _flow_rows(item_widths, max_width: float, max_rows: int = 2):
+    """Pack items into up to `max_rows` centered rows.  Returns a list of
+    rows, each a list of (index, x_start); None when even `max_rows` rows
+    overflow `max_width` (caller should shrink the font and retry)."""
+    for n_rows in range(1, max_rows + 1):
+        per = -(-len(item_widths) // n_rows)
+        rows = [list(range(i, min(i + per, len(item_widths))))
+                for i in range(0, len(item_widths), per)]
+        if all(sum(item_widths[i] for i in r) <= max_width for r in rows):
+            placed = []
+            for r in rows:
+                x = (1.0 - sum(item_widths[i] for i in r)) / 2
+                row = []
+                for i in r:
+                    row.append((i, x))
+                    x += item_widths[i]
+                placed.append(row)
+            return placed
+    return None
+
+
+def layout_horizontal_buttons(rb, ax, labels, fontsize: float = 8.0,
+                              floor: float = 6.0):
+    """Re-lay a RadioButtons/CheckButtons widget horizontally: marker +
+    label flow left-to-right, wrapping to a centered second row when one
+    row overflows, shrinking the font only as a last resort (the
+    reference ui_builder.py:105-206 layout behavior).  No-op when the
+    widget's marker collection is not exposed by this matplotlib."""
+    markers = getattr(rb, '_buttons', None) or getattr(rb, '_squares', None)
+    if markers is None or not hasattr(markers, 'set_offsets'):
+        return False
+    fs = fontsize
+    while True:
+        widths, mk, gap = _measure_axes_fractions(ax, labels, fs)
+        items = [mk + gap + w + gap for w in widths]
+        placed = _flow_rows(items, max_width=0.98)
+        if placed is not None or fs <= floor:
+            break
+        fs = max(floor, fs - 1.0)
+    if placed is None:  # overflow even at the floor: keep two rows anyway
+        per = -(-len(items) // 2)
+        placed = []
+        for lo in range(0, len(items), per):
+            row, x = [], 0.01
+            for i in range(lo, min(lo + per, len(items))):
+                row.append((i, x))
+                x += items[i]
+            placed.append(row)
+    ys = [0.5] if len(placed) == 1 else [0.7, 0.3]
+    offsets = [None] * len(labels)
+    for row, y in zip(placed, ys):
+        for i, x in row:
+            offsets[i] = (x + mk / 2, y)
+            rb.labels[i].set_position((x + mk + gap, y))
+            rb.labels[i].set_horizontalalignment('left')
+            rb.labels[i].set_verticalalignment('center')
+            rb.labels[i].set_fontsize(fs)
+    markers.set_offsets(offsets)
+    return True
+
+
+def create_radio_buttons(ax, labels, active_label=None, fontsize: float | None = None,
+                         orientation: str = 'vertical'):
+    """RadioButtons sized to their labels; returns the widget.
+    `orientation='horizontal'` flows marker+label pairs left-to-right with
+    a two-row wrap (the reference's panel style)."""
     from matplotlib.widgets import RadioButtons
 
     if fontsize is None:
@@ -62,6 +154,9 @@ def create_radio_buttons(ax, labels, active_label=None, fontsize: float | None =
         fontsize = fit_fontsize(fig, labels, avail)
     active = labels.index(active_label) if active_label in labels else 0
     rb = RadioButtons(ax, labels, active=active)
+    if orientation == 'horizontal':
+        if layout_horizontal_buttons(rb, ax, labels, fontsize):
+            return rb
     for text in rb.labels:
         text.set_fontsize(fontsize)
     return rb
@@ -148,5 +243,6 @@ __all__ = [
     'create_clean_axes',
     'create_radio_buttons',
     'fit_fontsize',
+    'layout_horizontal_buttons',
     'measure_text_fractions',
 ]
