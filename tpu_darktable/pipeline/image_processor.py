@@ -134,6 +134,22 @@ def build_pipeline_fn(
                 return _tonemap.filmic_tonemap(rgb, params, metrics)
         raise AssertionError(f'Invalid tone mapping: {settings.tone_mapping}')
 
+    def _front_one(bayer):
+        rgb = _demosaic_one(bayer)
+        if settings.postprocess:
+            rgb = _postprocess_one(rgb)
+        return rgb
+
+    def _back_one(rgb, bounds):
+        rgb = normalize_image(rgb, bounds)
+        if settings.enable_denoise:
+            rgb = _denoise_one(rgb)
+        if settings.enable_bilateral:
+            rgb = _bilateral_one(rgb)
+        if settings.enable_laplacian:
+            rgb = _laplacian_one(rgb)
+        return rgb
+
     def fused(bytes_batch, wb_gains, bounds_in, metrics_in, alpha):
         # decode row-shaped: wide minor dim keeps the byte unpack on the VPU
         rows = bytes_batch.reshape(-1, height, (width * 3) // 2)
@@ -142,35 +158,33 @@ def build_pipeline_fn(
         if has_white_balance:
             bayer = _wb.apply_white_balance(bayer, wb_gains, bayer_pattern)
 
-        if bayer.shape[0] <= 2:
-            rgb = jax.vmap(_demosaic_one)(bayer)
-            if settings.postprocess:
-                rgb = jax.vmap(_postprocess_one)(rgb)
-        else:
-            rgb = jax.lax.map(_demosaic_one, bayer)
-            if settings.postprocess:
-                rgb = jax.lax.map(_postprocess_one, rgb)
-
-        bounds_new = _tonemap.compute_image_bounds(rgb, stride=8)
-        bounds = lerp(bounds_in, bounds_new, alpha)
-        rgb = normalize_image(rgb, bounds)
-
         # Large batches: run the memory-heavy per-frame stages sequentially
         # (lax.map = scan) so live intermediates stay one frame deep - the
         # Wiener stage's coset tensors otherwise scale linearly with B and
         # OOM at B >= 8 on 16 GB HBM.  Throughput is unaffected: a 12MP
         # frame already saturates the chip, so vmap parallelism across
         # frames buys nothing (measured batch 1/2/4 within 10%).
-        if rgb.shape[0] <= 2:
+        #
+        # The per-frame chain runs as exactly TWO batch loops - demosaic+
+        # postprocess, then normalize+denoise+bilateral+laplacian (split
+        # only by the batch-global bounds EMA between them): every extra
+        # lax.map boundary pays a full-batch carry plus per-frame
+        # slice/update fusions (profiled ~1-3 ms/frame across the old
+        # 4-5 loop structure).
+        if bayer.shape[0] <= 2:
             batch_map = lambda f, x: jax.vmap(f)(x)
         else:
             batch_map = jax.lax.map
-        if settings.enable_denoise:
-            rgb = batch_map(_denoise_one, rgb)
-        if settings.enable_bilateral:
-            rgb = batch_map(_bilateral_one, rgb)
-        if settings.enable_laplacian:
-            rgb = batch_map(_laplacian_one, rgb)
+        rgb = batch_map(_front_one, bayer)
+
+        bounds_new = _tonemap.compute_image_bounds(rgb, stride=8)
+        bounds = lerp(bounds_in, bounds_new, alpha)
+
+        if (settings.enable_denoise or settings.enable_bilateral
+                or settings.enable_laplacian):
+            rgb = batch_map(lambda f: _back_one(f, bounds), rgb)
+        else:
+            rgb = normalize_image(rgb, bounds)
 
         metrics_new = _tonemap.compute_image_metrics(rgb, stride=8)
         metrics = lerp(metrics_in, metrics_new, alpha)
