@@ -83,6 +83,14 @@ def _write_marker(config_name: str, identity: str):
         print(f'[bench] marker write failed: {e}', file=sys.stderr)
 
 
+def _config_name_from_env():
+    """Which ladder config the current env selects (FULL unless the
+    Pallas kernels are disabled by a fallback rung's overrides)."""
+    if os.environ.get('TD_RCD_PALLAS', '1') == '0':
+        return 'BANK' if os.environ.get('TD_BENCH_BATCH') == '2' else 'XLA16'
+    return 'FULL'
+
+
 def _bench_child():
     import numpy as np
     import jax
@@ -139,14 +147,19 @@ def _bench_child():
 
     fps = 1.0 / dt
     mp = width * height / 1e6
+    config = _config_name_from_env()
+    # A fallback rung must not masquerade as the flagship number: the
+    # config name rides both in the metric text and as its own key.
+    tag = '' if config == 'FULL' else f' [{config} fallback config]'
     result = {
         'metric': f'{mp:.0f}MP RAW->sRGB frames/sec (fused ISP: WB+RCD+postprocess+'
-                  'Wiener+bilateral+adaptive-ACES, single chip)',
+                  f'Wiener+bilateral+adaptive-ACES, single chip){tag}',
         'value': round(fps, 2),
         'unit': 'frames/sec',
         # BASELINE.json target: >= 2000 fps on a v5e-8; the metric is
         # frames/sec/CHIP, so the per-chip baseline is 2000 / 8 = 250.
         'vs_baseline': round(fps / 250.0, 4),
+        'config': config,
     }
     print(json.dumps(result))
     return 0
@@ -172,10 +185,7 @@ def main():
         if rc == 0 and budget <= 0:
             # In-process run (round-end warm): record the cache as warm for
             # the config selected by the current env.
-            name = 'FULL'
-            if os.environ.get('TD_RCD_PALLAS', '1') == '0':
-                name = 'BANK' if os.environ.get('TD_BENCH_BATCH') == '2' else 'XLA16'
-            _write_marker(name, _identity())
+            _write_marker(_config_name_from_env(), _identity())
         return rc
 
     identity = _identity()

@@ -124,3 +124,17 @@ def test_full_encode_device_entropy_matches_host(rng):
         dev = encode_jpeg(img, quality=88, subsampling=subsampling,
                           restart_interval=ri, entropy='device')
         np.testing.assert_array_equal(dev, host)
+
+
+def test_entropy_param_validated_with_progressive(rng):
+    """Invalid `entropy` raises even on the progressive path, and the
+    explicit device request is rejected there (the progressive scan
+    scripts are host-side) instead of being silently ignored."""
+    from tpu_darktable.ops.jpeg import JpegException, encode_jpeg
+
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    with pytest.raises(JpegException):
+        encode_jpeg(img, progressive=True, entropy='devcie')
+    with pytest.raises(JpegException):
+        encode_jpeg(img, progressive=True, entropy='device')
+    assert encode_jpeg(img, progressive=True, entropy='host') is not None

@@ -129,8 +129,7 @@ def _kernel(ph_prev, ph_cur, ph_next, o_ref, *, s: int, bg: int, gz: int,
         zed.append(acc if acc is not None else jnp.zeros((bg + 2, gx), _F32))
 
     # ---- slice: trilinear read back, accumulated per column phase ----
-    ph_out = [ph_t[m, 3 * s : 3 * s + band] for m in range(s)]  # (band, wg)
-    ib_z, fr_z, w0_z, w1_z = [], [], [], []
+    ib_z, fr_z = [], []
     for m in range(s):
         gzm = g_z[m][3 * s : 3 * s + band]
         ib = jnp.minimum(gzm.astype(jnp.int32), gz - 2)

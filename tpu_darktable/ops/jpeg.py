@@ -541,7 +541,15 @@ def encode_jpeg(
     )
     n_comp = len(comp_blocks_dev)
 
+    if entropy not in ('auto', 'device', 'host'):
+        raise JpegException("entropy must be 'auto', 'device' or 'host'")
+
     if progressive:
+        if entropy == 'device':
+            raise JpegException(
+                "entropy='device' supports baseline only; the progressive "
+                'scan scripts are host-side (use entropy='
+                "'auto'/'host' with progressive=True)")
         comp_blocks = [np.asarray(cb) for cb in comp_blocks_dev]
         return _encode_progressive(comp_blocks, h, w, qy, qc, subsampling)
 
@@ -557,8 +565,6 @@ def encode_jpeg(
     if restart_interval > 65535:
         raise JpegException('restart_interval must fit in 16 bits')
 
-    if entropy not in ('auto', 'device', 'host'):
-        raise JpegException("entropy must be 'auto', 'device' or 'host'")
     use_device = entropy == 'device'
     if entropy == 'auto':
         env = os.environ.get('TD_JPEG_DEVICE_ENTROPY')

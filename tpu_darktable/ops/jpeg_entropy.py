@@ -167,20 +167,20 @@ def _select_tree(index, table: np.ndarray, n_bits: int):
     Pure elementwise wheres - fuses into one pass.
     """
     def build(lo: int, bit: int):
+        # Constant subtrees stay Python ints so they collapse: a subtree
+        # whose table slice is uniform emits NO selects (the AC table has
+        # large uniform runs - the full tree would be 255 wheres per call).
         if bit < 0:
-            return jnp.int32(int(table[lo]))
+            return int(table[lo])
         half = 1 << bit
         left = build(lo, bit - 1)
         right = build(lo + half, bit - 1)
-        if isinstance(left, jnp.ndarray) or isinstance(right, jnp.ndarray) \
-                or int(table[lo:lo + half].min()) != int(table[lo:lo + half].max()) \
-                or int(table[lo + half:lo + 2 * half].min()) != int(table[lo + half:lo + 2 * half].max()):
-            return jnp.where((index >> bit) & 1 == 1, right, left)
-        if int(table[lo]) == int(table[lo + half]):
+        if isinstance(left, int) and isinstance(right, int) and left == right:
             return left
         return jnp.where((index >> bit) & 1 == 1, right, left)
 
-    return build(0, n_bits - 1)
+    out = build(0, n_bits - 1)
+    return jnp.int32(out) if isinstance(out, int) else out
 
 
 # ---------------------------------------------------------------------------
@@ -207,15 +207,6 @@ def _left_align(val, length):
     hi = jnp.where(length > 0, val.astype(jnp.uint32) << sh, jnp.uint32(0))
     # length == 32 -> shift 0, fine; length == 0 handled by where
     return hi
-
-
-def _concat2_small(a_hi, a_len, b_hi, b_len):
-    """Concat two left-aligned strings each <= 32 bits, total <= 64 bits."""
-    s = a_len.astype(jnp.uint32)
-    lo_from_b = jnp.where(a_len > 0, b_hi << (jnp.uint32(32) - s), jnp.uint32(0))
-    lo_from_b = jnp.where(a_len == 0, jnp.uint32(0), lo_from_b)
-    hi_from_b = jnp.where(a_len > 0, b_hi >> s, b_hi)
-    return a_hi | hi_from_b, lo_from_b, a_len + b_len
 
 
 def _huff_numpy_tables(codes: np.ndarray, lens: np.ndarray):
@@ -264,7 +255,6 @@ def _component_items(blocks, dc_diff, dc_lut: np.ndarray, ac_lut: np.ndarray,
     base_hi = _left_align(base_val, base_len)
 
     # ZRL prefix: left-aligned constants for 0..3 repetitions
-    pv = 0
     prefs = []
     for k in range(4):
         bits = 0
@@ -274,7 +264,6 @@ def _component_items(blocks, dc_diff, dc_lut: np.ndarray, ac_lut: np.ndarray,
         hi = (bits << (64 - blen) >> 32) & 0xFFFFFFFF if blen else 0
         lo = (bits << (64 - blen)) & 0xFFFFFFFF if blen else 0
         prefs.append((hi, lo, blen))
-    del pv
     p_hi = jnp.uint32(prefs[0][0])
     p_lo = jnp.uint32(prefs[0][1])
     p_len = jnp.int32(prefs[0][2])
@@ -351,7 +340,10 @@ def _dc_diffs(mcu_blocks, comp_of_slot, n_iv: int):
     per_slot = [None] * len(comp_of_slot)
     for comp in sorted(set(comp_of_slot)):
         slots = [i for i, c in enumerate(comp_of_slot) if c == comp]
-        dc = mcu_blocks[..., slots, 0]                    # (n_iv, M, k)
+        # A component's slots are consecutive in the MCU layout, so this is
+        # a static slice (XLA gathers are pathological here - CLAUDE.md).
+        assert slots == list(range(slots[0], slots[-1] + 1)), slots
+        dc = mcu_blocks[..., slots[0] : slots[-1] + 1, 0]  # (n_iv, M, k)
         flat = dc.reshape(n_iv, -1)                       # chain order
         prev = jnp.pad(flat, ((0, 0), (1, 0)))[:, :-1]
         d = (flat - prev).reshape(dc.shape)

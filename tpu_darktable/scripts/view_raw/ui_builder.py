@@ -57,6 +57,7 @@ def _measure_axes_fractions(ax, labels, fontsize: float):
     (rendered metrics with a 15% margin; char-count fallback without a
     renderer)."""
     fig = ax.get_figure()
+    probe = None
     try:
         fig.canvas.draw()
         renderer = fig.canvas.get_renderer()
@@ -73,11 +74,13 @@ def _measure_axes_fractions(ax, labels, fontsize: float):
         ext = probe.get_window_extent(renderer=renderer)
         marker_w = ext.width / bbox.width
         gap = ext.height / bbox.height * 0.3
-        probe.remove()
         return widths, marker_w, gap
     except Exception:
         f = fontsize / 8.0
         return [len(label) * 0.08 * f for label in labels], 0.05 * f, 0.015
+    finally:
+        if probe is not None:
+            probe.remove()
 
 
 def _flow_rows(item_widths, max_width: float, max_rows: int = 2):
