@@ -52,6 +52,26 @@ def test_log_luminance_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
 
 
+def test_lab_dedup_helpers_exact(rng):
+    """rgb_to_lab_with_clipped_l / lab_modify_luminance must reproduce the
+    plain compute/modify pair bitwise, INCLUDING out-of-range inputs (the
+    fused pipeline feeds unclipped normalize_image output to the denoise
+    bracket)."""
+    x = (rng.random((32, 48, 3)).astype(np.float32) * 1.5 - 0.25)  # [-0.25, 1.25)
+    lab, lum = color.rgb_to_lab_with_clipped_l(jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(lum), np.asarray(color.compute_luminance(jnp.asarray(x)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lab), np.asarray(color.rgb_to_lab(jnp.asarray(x)))
+    )
+    new_l = np.asarray(lum) * 0.9 + 0.01
+    np.testing.assert_array_equal(
+        np.asarray(color.lab_modify_luminance(lab, jnp.asarray(new_l))),
+        np.asarray(color.modify_luminance(jnp.asarray(x), jnp.asarray(new_l))),
+    )
+
+
 def test_color_transform_3x3_identity(rng):
     x = rng.random((8, 8, 3)).astype(np.float32)
     out = color.color_transform_3x3(jnp.asarray(x), np.eye(3, dtype=np.float32))

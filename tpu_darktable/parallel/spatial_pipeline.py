@@ -117,26 +117,36 @@ def build_spatial_pipeline_fn(
             rgb = _postprocess.color_smoothing_pass(rgb)
         return _green_eq_global_sharded(rgb, core)
 
+    # Luminance-bracket LAB dedup, mirroring the fused single-device builder
+    # (pipeline/image_processor.py): value-exact, so the sharded-vs-unsharded
+    # equality tests are unaffected.
+    def _lab_and_lum(rgb, input_clipped: bool):
+        if input_clipped:
+            lab = _color.rgb_to_lab(rgb)
+            return lab, lab[..., 0]
+        return _color.rgb_to_lab_with_clipped_l(rgb)
+
     def _denoise_one(rgb):
         eps = 1e-4
         sdt = jnp.float16 if settings.denoise_f16 else None
-        log_lum = _color.compute_log_luminance(rgb, eps=eps)
+        lab, lum = _color.rgb_to_lab_with_clipped_l(rgb)
+        log_lum = jnp.log(jnp.maximum(eps, lum))
         den = _wiener.wiener_denoise(
             log_lum[..., None], jnp.float32(settings.denoise), tile_size=32,
             overlap_factor=settings.denoise_overlap,
             spectral_dtype=sdt, storage_dtype=sdt,
         )[..., 0]
-        return _color.modify_log_luminance(rgb, den, eps=eps)
+        return _color.lab_modify_luminance(lab, jnp.exp(den + eps))
 
     def _bilateral_one(rgb):
-        lum = _color.compute_luminance(rgb)
+        lab, lum = _lab_and_lum(rgb, input_clipped=settings.enable_denoise)
         # XLA path under shard_map (like the grid blur above): the Pallas
         # band kernel is single-device tuned and untestable per-shard here.
         out = _bilateral.bilateral_process(
             lum, settings.bil_sigma_spatial, settings.bil_sigma_luminance,
             settings.bilateral, _use_band_kernel=False,
         )
-        return _color.modify_luminance(rgb, out)
+        return _color.lab_modify_luminance(lab, out)
 
     def _laplacian_sharded(rgb, off, win):
         """Local-Laplacian local contrast under row-band sharding.
@@ -152,7 +162,10 @@ def build_spatial_pipeline_fn(
         """
         from ..ops import laplacian as _lap
 
-        lum = _color.compute_luminance(rgb)
+        lab, lum = _lab_and_lum(
+            rgb,
+            input_clipped=settings.enable_denoise or settings.enable_bilateral,
+        )
         lum_core = jax.lax.dynamic_slice(lum, (off, jnp.int32(0)), (band, width))
         lum_full = jax.lax.all_gather(lum_core, axis_name, axis=0, tiled=True)
         params = _lap.LaplacianParams(
@@ -161,7 +174,7 @@ def build_spatial_pipeline_fn(
         )
         lap_full = _lap.local_laplacian(lum_full, params)
         lap_blk = jax.lax.dynamic_slice(lap_full, (win, jnp.int32(0)), (block, width))
-        return _color.modify_luminance(rgb, lap_blk)
+        return _color.lab_modify_luminance(lab, lap_blk)
 
     def _tonemap_block(rgb, metrics):
         params = _tonemap.TonemapParameters(

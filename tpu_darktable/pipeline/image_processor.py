@@ -89,33 +89,53 @@ def build_pipeline_fn(
             green_eq_threshold=settings.green_eq_threshold,
         )
 
+    # Luminance-bracket dedup: each of the denoise/bilateral/laplacian
+    # stages extracts LAB luminance and writes it back, and naively each
+    # bracket runs rgb_to_lab twice (compute_* clips its input first, the
+    # modify_* needs the unclipped LAB).  rgb_to_lab_with_clipped_l shares
+    # the sRGB gamma decode between the two value-exactly; when the stage
+    # input is statically known to be clipped (it came out of a preceding
+    # modify_*, which ends in clip01) the single unclipped LAB serves both
+    # sides outright.  Measured ~1 ms/frame per bracket at 12MP
+    # (experiments/lab_dedup_probe.py); equal results bit for bit.
+    def _lab_and_lum(rgb, input_clipped: bool):
+        if input_clipped:
+            lab = _color.rgb_to_lab(rgb)
+            return lab, lab[..., 0]
+        return _color.rgb_to_lab_with_clipped_l(rgb)
+
     def _denoise_one(rgb):
         eps = 1e-4
         sdt = jnp.float16 if settings.denoise_f16 else None
-        log_lum = _color.compute_log_luminance(rgb, eps=eps)
+        # input is normalize_image output: not clipped
+        lab, lum = _color.rgb_to_lab_with_clipped_l(rgb)
+        log_lum = jnp.log(jnp.maximum(eps, lum))
         den = _wiener.wiener_denoise(
             log_lum[..., None], jnp.float32(settings.denoise), tile_size=32,
             overlap_factor=settings.denoise_overlap,
             spectral_dtype=sdt, storage_dtype=sdt,
         )[..., 0]
-        return _color.modify_log_luminance(rgb, den, eps=eps)
+        return _color.lab_modify_luminance(lab, jnp.exp(den + eps))
 
     def _bilateral_one(rgb):
-        lum = _color.compute_luminance(rgb)
+        lab, lum = _lab_and_lum(rgb, input_clipped=settings.enable_denoise)
         out = _bilateral.bilateral_process(
             lum, settings.bil_sigma_spatial, settings.bil_sigma_luminance, settings.bilateral
         )
-        return _color.modify_luminance(rgb, out)
+        return _color.lab_modify_luminance(lab, out)
 
     def _laplacian_one(rgb):
         from ..ops import laplacian as _lap
 
-        lum = _color.compute_luminance(rgb)
+        lab, lum = _lab_and_lum(
+            rgb,
+            input_clipped=settings.enable_denoise or settings.enable_bilateral,
+        )
         params = _lap.LaplacianParams(
             sigma=settings.lap_sigma, shadows=settings.lap_shadows,
             highlights=settings.lap_highlights, clarity=settings.lap_clarity,
         )
-        return _color.modify_luminance(rgb, _lap.local_laplacian(lum, params))
+        return _color.lab_modify_luminance(lab, _lap.local_laplacian(lum, params))
 
     def _tonemap_batch(rgb, metrics):
         params = _tonemap.TonemapParameters(
