@@ -156,6 +156,35 @@ def test_fused_matches_piecewise(rng):
     assert diff.max() <= 1, diff.max()  # identical math; allow 1-count rounding
 
 
+def test_fused_matches_piecewise_bilateral_only(rng):
+    """Bilateral enabled WITHOUT denoise: the fused builder's LAB-dedup
+    bracket then takes the input_clipped=False path on genuinely unclipped
+    normalize_image output — must still match the piecewise workspaces
+    (which use the plain compute/modify_luminance pair)."""
+    h, w = 96, 128
+    kw = dict(enable_denoise=False)
+    proc = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(**kw), white_balance=(1.2, 1.0, 1.1),
+    )
+    data, _ = _make_bytes(h, w, rng)
+
+    fused = np.asarray(proc.process(jnp.asarray(data), 'x'))
+
+    proc2 = ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(**kw), white_balance=(1.2, 1.0, 1.1),
+    )
+    rgb = proc2.load_image(jnp.asarray(data))
+    bounds = td.compute_image_bounds([rgb], stride=8)
+    rgb = proc2.process_rgb(rgb, bounds)
+    metrics = td.compute_image_metrics([rgb], stride=8)
+    piecewise = np.asarray(proc2.tonemap(rgb, metrics))
+
+    diff = np.abs(fused.astype(int) - piecewise.astype(int))
+    assert diff.max() <= 1, diff.max()
+
+
 def test_ema_state_evolves(rng):
     h, w = 64, 64
     proc = ImageProcessor(
