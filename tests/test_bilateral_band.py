@@ -119,3 +119,17 @@ def _xla_l_diff(lum, s, sr, gz, z_mode):
                        jnp.where(ib_z + 1 == z, fr_z, 0.0))
         ld = ld + wz * xy_slice(grid[z])
     return np.asarray(ld)
+
+
+def test_vmem_ok_band_size_selection():
+    """Regression for the s=8 scoped-VMEM compile OOM on v5e: Mosaic's
+    actual stack runs ~2.6x the buffer-sum estimate (127.12 MB measured at
+    s=8/bg=64/gz=11/w=4096 against the 100 MB limit), so the feasibility
+    cutoff must reject that geometry at bg=64 and accept the verified
+    bg=32, while keeping the measured-good 12MP s=2/bg=64 default."""
+    # sigma_s=8, sigma_r=0.1 at 4096x3000 (the run_benchmark 'Bilateral 8x1'
+    # case that failed to compile): gz = 11
+    assert not bilateral_band_vmem_ok(8, 11, 4096, bg=64)
+    assert bilateral_band_vmem_ok(8, 11, 4096, bg=32)  # compiles, 1.2e-7 vs XLA
+    # flagship 12MP sigma_s=2 sigma_r=0.2 (gz = 8): bg=64 measured good
+    assert bilateral_band_vmem_ok(2, 8, 4096, bg=64)
