@@ -120,6 +120,24 @@ def test_bilateral_matches_oracle(rng, sigma_s):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_bilateral_clamped_grid_matches_oracle(rng):
+    """Grid-axis clamping (grid capped at 3000 cells, bilateral.cu:282-284):
+    pixels past sigma*(n_cells-1) all land on the LAST cell with weight 1.0.
+    At sigma_s=0.5 on a 1600-wide image gx clamps 3200 -> 3000, so pixels
+    1500..1599 take the tail path of _axis_splat_operator (regression for
+    the 40 GB dense-window gather this produced at 12MP sigma_s=1)."""
+    from tpu_darktable.ops import bilateral
+
+    lum = (rng.random((8, 1600)) * 0.9).astype(np.float32)
+    gx, gy, gz = bilateral.compute_grid_size(1600, 8, 0.5, 0.25)
+    assert gx == 3001  # clamped geometry, tail path exercised
+    ref = oracles.bilateral_oracle(lum.astype(np.float64), 0.5, 0.25, 0.4)
+    out = np.asarray(
+        jax.jit(lambda x: bilateral.bilateral_process(x, 0.5, 0.25, 0.4))(jnp.asarray(lum))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_laplacian_matches_oracle(rng):
     from tpu_darktable.ops import laplacian
 

@@ -80,6 +80,12 @@ def grid_blur_xyz(grid, *, bh: int = 64, z_mode: str = 'derivative',
         out_shape=jax.ShapeDtypeStruct((gz, n_rb * bh, gx), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
+            # Mosaic's scoped-stack allocation runs ~3.4x the buffer-sum
+            # estimate (measured: gz=6/gx=3001/bh=8 estimates 5.2 MB but
+            # allocates 17.71 MB, over the 16 MB default limit - the
+            # clamped-grid sigma_s=1 case at 12MP).  64 MB covers the
+            # 10 MB feasibility cutoff with that factor; v5e has 128 MB.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(gp, gp, gp)
@@ -87,7 +93,9 @@ def grid_blur_xyz(grid, *, bh: int = 64, z_mode: str = 'derivative',
 
 
 def grid_blur_vmem_ok(gz: int, gx: int, bh: int = 64) -> bool:
-    """Conservative VMEM feasibility check for the fused blur."""
+    """VMEM feasibility check for the fused blur.  The 10 MB cutoff pairs
+    with the kernel's 64 MB scoped limit: Mosaic's actual stack measures
+    ~3.4x this estimate (see grid_blur_xyz)."""
     bytes_live = gz * (3 * bh) * (gx + 4) * 4 * 3  # views + two temporaries
     return bytes_live <= 10 * 2**20
 

@@ -81,20 +81,33 @@ def _axis_splat_operator(n_pixels: int, n_cells: int, sigma: float):
 
     Pixel p lands at g = clamp(p/sigma, 0, n_cells-1), contributing
     (1-frac) to cell ib = min(floor(g), n_cells-2) and frac to ib+1
-    (make_grid_sample, bilateral.cu:71-87).  Returns (idx, wgt) with shape
-    (n_cells, M): cell c accumulates sum_m wgt[c, m] * value[idx[c, m]].
+    (make_grid_sample, bilateral.cu:71-87).  Returns (idx, wgt, tail_start)
+    where (idx, wgt) have shape (n_cells, M): cell c accumulates
+    sum_m wgt[c, m] * value[idx[c, m]].
+
+    Pixels at or beyond sigma*(n_cells-1) land exactly on the LAST cell
+    with weight 1.0 (their grid coordinate clamps, so frac == 1 against
+    cell n_cells-2).  They are excluded from the windowed operator and
+    reported via tail_start: the caller adds value[tail_start:].sum() to
+    the last cell.  With strong grid clamping (small sigma at large
+    images; the grid caps at 3000 cells per axis, bilateral.cu:282-284)
+    thousands of pixels pile onto that cell, and keeping them in the dense
+    window makes the gather explode (40 GB at sigma_s=1, 12MP).
     """
     p = np.arange(n_pixels, dtype=np.float64)
     g = np.clip(p / sigma, 0.0, n_cells - 1)
     ib = np.minimum(g.astype(np.int64), n_cells - 2)
     frac = (g - ib).astype(np.float32)
+    # g is nondecreasing: everything from the first g == n_cells-1 on is tail
+    tail_start = int(np.searchsorted(g, n_cells - 1, side='left'))
+    in_window = np.arange(n_pixels) < tail_start
 
     m_width = int(np.ceil(sigma)) + 2
     idx = np.zeros((n_cells, m_width), dtype=np.int32)
     wgt = np.zeros((n_cells, m_width), dtype=np.float32)
     for c in range(n_cells):
-        members = np.nonzero((ib == c - 1) | (ib == c))[0]
-        if len(members) > m_width:  # widen if needed (clamped-edge pileup)
+        members = np.nonzero(((ib == c - 1) | (ib == c)) & in_window)[0]
+        if len(members) > m_width:  # widen if needed (fractional-sigma jitter)
             extra = len(members) - m_width
             idx = np.pad(idx, ((0, 0), (0, extra)))
             wgt = np.pad(wgt, ((0, 0), (0, extra)))
@@ -102,7 +115,29 @@ def _axis_splat_operator(n_pixels: int, n_cells: int, sigma: float):
         for m, px in enumerate(members):
             idx[c, m] = px
             wgt[c, m] = frac[px] if ib[px] == c - 1 else 1.0 - frac[px]
-    return idx, wgt
+    return idx, wgt, tail_start
+
+
+def _xy_splat_windowed(img, h, w, gx, gy, jidx_x, jwgt_x, tail_x,
+                       jidx_y, jwgt_y, tail_y):
+    """Separable spatial splat of an (H, W) map -> (gy, gx) via the static
+    windowed operators, with the clamped tails (weight-1.0 pileup on the
+    last cell, see _axis_splat_operator) added as plain sums."""
+    gathered = img[:, jidx_x.reshape(-1)].reshape(h, gx, -1)
+    sx = jnp.sum(gathered * jwgt_x[None], axis=-1)
+    if tail_x < w:
+        sx = jnp.concatenate(
+            [sx[:, :-1],
+             sx[:, -1:] + img[:, tail_x:].sum(axis=1, keepdims=True)],
+            axis=1)
+    gathered = sx[jidx_y.reshape(-1), :].reshape(gy, -1, gx)
+    out = jnp.sum(gathered * jwgt_y[:, :, None], axis=1)
+    if tail_y < h:
+        out = jnp.concatenate(
+            [out[:-1],
+             out[-1:] + sx[tail_y:].sum(axis=0, keepdims=True)],
+            axis=0)
+    return out
 
 
 def _axis_slice_weights(n_pixels: int, n_cells: int, sigma: float):
@@ -240,8 +275,8 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
             return jnp.maximum(0.0, lum + norm * l_diff)
 
     if not fast:
-        idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
-        idx_y, wgt_y = _axis_splat_operator(h, gy, sigma_s)
+        idx_x, wgt_x, tail_x = _axis_splat_operator(w, gx, sigma_s)
+        idx_y, wgt_y, tail_y = _axis_splat_operator(h, gy, sigma_s)
         jidx_x, jwgt_x = jnp.asarray(idx_x), jnp.asarray(wgt_x)
         jidx_y, jwgt_y = jnp.asarray(idx_y), jnp.asarray(wgt_y)
 
@@ -281,10 +316,9 @@ def bilateral_process(luminance, sigma_s: float, sigma_r: float, detail: float,
         if fast:
             sx = _splat_axis_fast(img, 1, gx)
             return _splat_axis_fast(sx, 0, gy)
-        gathered = img[:, jidx_x.reshape(-1)].reshape(h, gx, -1)
-        sx = jnp.sum(gathered * jwgt_x[None], axis=-1)
-        gathered = sx[jidx_y.reshape(-1), :].reshape(gy, -1, gx)
-        return jnp.sum(gathered * jwgt_y[:, :, None], axis=1)
+        return _xy_splat_windowed(img, h, w, gx, gy,
+                                  jidx_x, jwgt_x, tail_x,
+                                  jidx_y, jwgt_y, tail_y)
 
     # Build the grid one z slab at a time: grid[z] = XYsplat(tent_z * 1/ss^2).
     slabs = []
@@ -352,8 +386,8 @@ def bilateral_denoise(luminance, sigma_s: float, sigma_r: float, amount: float):
     h, w = lum.shape
     gx, gy, gz = compute_grid_size(w, h, sigma_s, sigma_r)
 
-    idx_x, wgt_x = _axis_splat_operator(w, gx, sigma_s)
-    idx_y, wgt_y = _axis_splat_operator(h, gy, sigma_s)
+    idx_x, wgt_x, tail_x = _axis_splat_operator(w, gx, sigma_s)
+    idx_y, wgt_y, tail_y = _axis_splat_operator(h, gy, sigma_s)
     jidx_x, jwgt_x = jnp.asarray(idx_x), jnp.asarray(wgt_x)
     jidx_y, jwgt_y = jnp.asarray(idx_y), jnp.asarray(wgt_y)
 
@@ -361,10 +395,9 @@ def bilateral_denoise(luminance, sigma_s: float, sigma_r: float, amount: float):
     contrib = jnp.float32(1.0 / (sigma_s * sigma_s))
 
     def xy_splat(img):
-        gathered = img[:, jidx_x.reshape(-1)].reshape(h, gx, -1)
-        sx = jnp.sum(gathered * jwgt_x[None], axis=-1)
-        gathered = sx[jidx_y.reshape(-1), :].reshape(gy, -1, gx)
-        return jnp.sum(gathered * jwgt_y[:, :, None], axis=1)
+        return _xy_splat_windowed(img, h, w, gx, gy,
+                                  jidx_x, jwgt_x, tail_x,
+                                  jidx_y, jwgt_y, tail_y)
 
     num_slabs, den_slabs = [], []
     for z in range(gz):
