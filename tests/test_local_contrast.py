@@ -91,6 +91,44 @@ def test_bilateral_denoise_reduces_noise(rng):
     np.testing.assert_allclose(out0, noisy, atol=1e-6)
 
 
+def test_splat_operator_tail_equals_dense_matrix(rng):
+    """Under grid-axis clamping the windowed splat + tail sum must equal the
+    dense CUDA-semantics splat matrix (make_grid_sample, bilateral.cu:71-87):
+    g = clamp(p/sigma, 0, n-1), weight (1-frac, frac) into (ib, ib+1) with
+    ib = min(floor(g), n-2).  n_cells=101 over 700 pixels at sigma=0.5 puts
+    pixels 50.. entirely on the last cell (the tail path)."""
+    n_pixels, n_cells, sigma = 700, 101, 0.5
+    idx, wgt, tail = bilateral._axis_splat_operator(n_pixels, n_cells, sigma)
+    assert 0 < tail < n_pixels
+
+    p = np.arange(n_pixels, dtype=np.float64)
+    g = np.clip(p / sigma, 0.0, n_cells - 1)
+    ib = np.minimum(g.astype(np.int64), n_cells - 2)
+    frac = g - ib
+    dense = np.zeros((n_cells, n_pixels), dtype=np.float64)
+    dense[ib, p.astype(np.int64)] += 1.0 - frac
+    dense[ib + 1, p.astype(np.int64)] += frac
+
+    vals = rng.random(n_pixels).astype(np.float32)
+    want = dense @ vals.astype(np.float64)
+    got = (wgt.astype(np.float64) * vals[idx]).sum(axis=1)
+    got[-1] += vals[tail:].sum(dtype=np.float64)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bilateral_denoise_clamped_grid(rng):
+    """bilateral_denoise shares the tail-handling splat; exercise it under a
+    clamped x axis (gx capped at 3001 for sigma_s=0.5 on a 1600-wide plane)
+    and check it still behaves as a denoiser with finite output."""
+    gx, _, _ = bilateral.compute_grid_size(1600, 8, 0.5, 0.25)
+    assert gx == 3001
+    clean = np.full((8, 1600), 0.5, dtype=np.float32)
+    noisy = clean + rng.normal(0, 0.03, clean.shape).astype(np.float32)
+    out = np.asarray(bilateral.bilateral_denoise(jnp.asarray(noisy), 0.5, 0.25, 1.0))
+    assert np.isfinite(out).all()
+    assert np.std(out) < np.std(noisy)
+
+
 def test_laplacian_auto_pad_selection():
     """auto_max_supp: neutral params -> token pad (any pad is exact via the
     identity-curve telescoping); non-neutral -> exact reference full pad;
