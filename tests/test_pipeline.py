@@ -130,6 +130,26 @@ def test_large_batch_sequential_stages_match(rng):
     assert diff.max() <= 1, diff.max()
 
 
+def test_map_chunk_knob_matches(rng, monkeypatch):
+    """TD_MAP_CHUNK=2 (frames vmapped per loop iteration) must reproduce the
+    chunk=1 program exactly: same per-frame math, only the loop blocking
+    changes.  The knob is a measurement record (experiments/map_chunk_probe.py
+    measured chunking SLOWER on the TPU - BASELINE.md round-3 negative
+    results); this pins its correctness while it exists."""
+    h, w = 96, 128
+    data, _ = _make_bytes(h, w, rng)
+    imgs4 = {k: jnp.asarray(data) for k in 'abcd'}
+    mk = lambda: ImageProcessor(
+        (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        _settings(), white_balance=(1.2, 1.0, 1.1),
+    )
+    out1 = mk().process_image_set(imgs4)
+    monkeypatch.setenv('TD_MAP_CHUNK', '2')
+    out2 = mk().process_image_set(imgs4)
+    diff = np.abs(np.asarray(out1['a']).astype(int) - np.asarray(out2['a']).astype(int))
+    assert diff.max() <= 1, diff.max()  # vmap-vs-scan fusion order, last bit
+
+
 def test_fused_matches_piecewise(rng):
     """One fused XLA program == the reference's per-op chain."""
     h, w = 96, 128

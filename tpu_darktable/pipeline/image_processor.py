@@ -18,6 +18,7 @@ tonemap) are kept for API compatibility and run as individually jitted ops.
 
 from __future__ import annotations
 
+import os
 
 import numpy as np
 import jax
@@ -191,10 +192,18 @@ def build_pipeline_fn(
         # lax.map boundary pays a full-batch carry plus per-frame
         # slice/update fusions (profiled ~1-3 ms/frame across the old
         # 4-5 loop structure).
+        # TD_MAP_CHUNK (default 1): frames vmapped per loop iteration.  The
+        # chip's effective HBM bandwidth rises with working-set size (50 GB/s
+        # at one 12MP plane vs 285 GB/s at 4 - dispatch overhead amortizing,
+        # BASELINE.md), so chunking the map trades live memory for bandwidth.
         if bayer.shape[0] <= 2:
             batch_map = lambda f, x: jax.vmap(f)(x)
         else:
-            batch_map = jax.lax.map
+            chunk = int(os.environ.get('TD_MAP_CHUNK', '1'))
+            if chunk > 1:
+                batch_map = lambda f, x: jax.lax.map(f, x, batch_size=chunk)
+            else:
+                batch_map = jax.lax.map
         rgb = batch_map(_front_one, bayer)
 
         bounds_new = _tonemap.compute_image_bounds(rgb, stride=8)
