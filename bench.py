@@ -14,12 +14,15 @@ the ladder adapts to the cache state recorded in a warm-marker file:
   warm (marker matches current code): FULL config first (batch 16, Pallas RCD
       interior; cached reload ~20 s), BANK as fallback.
   cold: BANK first (batch 2, XLA-only; fresh compile ~70 s) to guarantee a
-      real JSON line, then XLA16 (batch 16, XLA-only) to upgrade it.  The
-      FULL config is never attempted cold - its Mosaic compile alone can
-      take 5-25 min on this host and cannot fit any ladder budget.
+      real JSON line, then XLA16 (batch 16, XLA-only) to upgrade it, then
+      BILAT16 (batch 16, bilateral band Pallas on - its Mosaic compile is
+      ~70 s, affordable cold) to upgrade further.  The FULL config is never
+      attempted cold - the RCD interior's Mosaic compile alone can take
+      5-25 min on this host and cannot fit any ladder budget.
 
-Worst-case wall-clock is ~370 s cold / ~120 s warm, inside any plausible
-driver timeout.  A real fps line always beats a timeout.
+A total wall budget (TD_BENCH_TOTAL_BUDGET, default 540 s) trims upgrade
+rungs once a line is banked, so the worst case stays inside any plausible
+driver timeout (~120 s warm).  A real fps line always beats a timeout.
 
 Env knobs: TD_BENCH_BATCH (default 16), TD_BENCH_ITERS (default 5),
 TD_BENCH_W/TD_BENCH_H (default 4096x3000), TD_BENCH_COMPILE_BUDGET (seconds,
@@ -87,7 +90,11 @@ def _config_name_from_env():
     """Which ladder config the current env selects (FULL unless the
     Pallas kernels are disabled by a fallback rung's overrides)."""
     if os.environ.get('TD_RCD_PALLAS', '1') == '0':
-        return 'BANK' if os.environ.get('TD_BENCH_BATCH') == '2' else 'XLA16'
+        if os.environ.get('TD_BENCH_BATCH') == '2':
+            return 'BANK'
+        if os.environ.get('TD_BILATERAL_PALLAS', '1') == '0':
+            return 'XLA16'
+        return 'BILAT16'
     return 'FULL'
 
 
@@ -166,16 +173,30 @@ def _bench_child():
 
 
 # Ladder configs: name -> env overrides.  FULL is the graded flagship
-# configuration (all Pallas kernels on); XLA16 drops the Pallas kernels
-# whose fresh Mosaic compiles are unboundable (RCD interior, bilateral
-# band); BANK additionally drops to batch 2 for the fastest possible cold
-# compile.
+# configuration (all Pallas kernels on); BILAT16 drops only the RCD
+# interior kernel (whose fresh Mosaic compile is unboundable, 5-25 min)
+# but keeps the bilateral band kernel (~70 s Mosaic compile, affordable
+# cold); XLA16 drops both; BANK additionally drops to batch 2 for the
+# fastest possible cold compile.
 _CONFIGS = {
     'FULL': {},
+    'BILAT16': {'TD_RCD_PALLAS': '0'},
     'XLA16': {'TD_RCD_PALLAS': '0', 'TD_BILATERAL_PALLAS': '0'},
     'BANK': {'TD_RCD_PALLAS': '0', 'TD_BILATERAL_PALLAS': '0',
              'TD_BENCH_BATCH': '2'},
 }
+
+
+def _plan(markers, identity, full_budget):
+    """Ladder for the current cache state: start from the best config the
+    warm markers vouch for; cold hosts bank cheap rungs first and upgrade."""
+    if markers.get('FULL') == identity:
+        return [('FULL', full_budget), ('BANK', 150.0)]
+    if markers.get('BILAT16') == identity:
+        return [('BILAT16', 200.0), ('BANK', 150.0)]
+    if markers.get('XLA16') == identity:
+        return [('XLA16', 200.0), ('BANK', 150.0)]
+    return [('BANK', 150.0), ('XLA16', 200.0), ('BILAT16', 260.0)]
 
 
 def main():
@@ -190,17 +211,21 @@ def main():
 
     identity = _identity()
     markers = _read_markers()
-    if markers.get('FULL') == identity:
-        plan = [('FULL', budget), ('BANK', 150.0)]
-    elif markers.get('XLA16') == identity:
-        plan = [('XLA16', 200.0), ('BANK', 150.0)]
-    else:
+    plan = _plan(markers, identity, budget)
+    if plan[0][0] == 'BANK':
         print('[bench] compile cache looks cold for this code state; '
               'banking a cheap config first', file=sys.stderr, flush=True)
-        plan = [('BANK', 150.0), ('XLA16', 200.0)]
 
+    total_budget = float(os.environ.get('TD_BENCH_TOTAL_BUDGET', '540'))
+    t_start = time.monotonic()
     best = None  # (value, line)
     for i, (name, timeout_s) in enumerate(plan, 1):
+        elapsed = time.monotonic() - t_start
+        if best is not None and elapsed + timeout_s > total_budget:
+            print(f'[bench] skipping {name}: {elapsed:.0f}s elapsed + '
+                  f'{timeout_s:.0f}s budget exceeds total {total_budget:.0f}s',
+                  file=sys.stderr, flush=True)
+            continue
         overrides = _CONFIGS[name]
         env = dict(os.environ)
         env.update(overrides)
