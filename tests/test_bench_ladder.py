@@ -18,12 +18,12 @@ def test_warm_full_runs_full_first():
     assert plan[-1][0] == 'BANK'  # a fallback rung always exists
 
 
-def test_cold_banks_cheapest_first_and_never_full():
+def test_cold_banks_cheapest_first_and_never_compiles_mosaic():
     plan = bench._plan({}, IDENT, 240.0)
     assert plan[0][0] == 'BANK'
-    assert all(name != 'FULL' for name, _ in plan)
-    # upgrade order: batch-16 XLA before the Mosaic-compiling BILAT16 rung
-    assert [name for name, _ in plan] == ['BANK', 'XLA16', 'BILAT16']
+    # FULL and BILAT16 both carry Mosaic compiles that cannot fit a cold
+    # ladder budget (5-25 min / 485 s measured) - cold rungs are XLA-only.
+    assert [name for name, _ in plan] == ['BANK', 'XLA16']
 
 
 def test_stale_marker_is_cold():
