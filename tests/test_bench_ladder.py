@@ -1,6 +1,7 @@
 """bench.py ladder planning: the driver-graded harness must always bank a
-real JSON line (cheap rung first when cold) and never attempt the FULL
-config cold (its Mosaic compile is unboundable on this host)."""
+real JSON line (cheapest rung first), verify AOT artifacts instead of
+trusting markers, and never start an unboundable Mosaic compile (FULL /
+BILAT16 cold compiles measured 531 s / 485 s in-program)."""
 
 import sys
 from pathlib import Path
@@ -12,42 +13,140 @@ import bench
 IDENT = 'abc123'
 
 
-def test_warm_full_runs_full_first():
-    plan = bench._plan({'FULL': IDENT}, IDENT, 240.0)
-    assert plan[0][0] == 'FULL'
-    assert plan[-1][0] == 'BANK'  # a fallback rung always exists
+def _names(plan):
+    return [name for name, _, _ in plan]
+
+
+def test_artifact_full_runs_right_after_banking_rung():
+    # FULL artifact present but nothing measured yet: bank the cheapest
+    # cold rung first (BANK, 80 s expected < artifact's 90 s), then FULL
+    # IMMEDIATELY - a multi-minute XLA16 cold compile must never stand
+    # between the banked line and the flagship (it would only shrink FULL's
+    # budget; the runner stops at FULL on success anyway).  XLA16 stays in
+    # the plan as the post-FULL fallback.
+    plan = bench._plan({}, IDENT, {'FULL'}, full_budget=240.0)
+    assert _names(plan) == ['BANK', 'FULL', 'XLA16']
+    # FULL is artifact-gated: require_aot so a stale artifact bails fast.
+    assert plan[1][2] is True
+    # Cold rungs may compile (no artifact requirement).
+    assert plan[0][2] is False and plan[2][2] is False
+
+
+def test_measured_fast_full_runs_first():
+    # A measured sub-BANK wall for FULL makes it the banking rung itself.
+    markers = {'FULL': {'identity': IDENT, 'wall_s': 45.0, 'source': 'aot'}}
+    plan = bench._plan(markers, IDENT, {'FULL'}, full_budget=240.0)
+    assert _names(plan) == ['FULL', 'BANK', 'XLA16']
+
+
+def test_committed_cold_rung_artifacts_tighten_walls():
+    # BANK/XLA16 artifacts committed alongside FULL's: the XLA-only rungs
+    # reload in ~1 s too, so their planned budgets drop below the cold
+    #-compile budgets while they stay compile-capable (not gated).
+    plan = bench._plan({}, IDENT, {'FULL', 'BANK', 'XLA16'}, full_budget=240.0)
+    assert _names(plan) == ['BANK', 'FULL', 'XLA16']
+    budgets = {n: b for n, b, _ in plan}
+    assert budgets['BANK'] < 2.5 * bench._COLD_WALL['BANK']
+    assert budgets['XLA16'] < 2.5 * bench._COLD_WALL['XLA16']
+    assert all(not gated for n, _, gated in plan if n != 'FULL')
 
 
 def test_cold_banks_cheapest_first_and_never_compiles_mosaic():
-    plan = bench._plan({}, IDENT, 240.0)
-    assert plan[0][0] == 'BANK'
-    # FULL and BILAT16 both carry Mosaic compiles that cannot fit a cold
-    # ladder budget (5-25 min / 485 s measured) - cold rungs are XLA-only.
-    assert [name for name, _ in plan] == ['BANK', 'XLA16']
+    plan = bench._plan({}, IDENT, set(), full_budget=240.0)
+    # No artifacts: only the XLA-only rungs (whose cold compile fits a
+    # ladder budget) are planned; Mosaic rungs never run without artifacts.
+    assert _names(plan) == ['BANK', 'XLA16']
 
 
-def test_stale_marker_is_cold():
-    plan = bench._plan({'FULL': 'other-code-state'}, IDENT, 240.0)
-    assert plan[0][0] == 'BANK'
+def test_marker_without_artifact_does_not_unlock_mosaic_rungs():
+    # VERDICT r3 weak #1: the marker VOUCHED for the cache and FULL still
+    # recompiled >240 s.  A matching marker alone must not plan FULL.
+    markers = {'FULL': {'identity': IDENT, 'wall_s': 40.0, 'source': 'aot'}}
+    plan = bench._plan(markers, IDENT, set(), full_budget=240.0)
+    assert 'FULL' not in _names(plan)
 
 
-def test_partial_warm_resumes_from_best_known_rung():
-    assert bench._plan({'BILAT16': IDENT}, IDENT, 240.0)[0][0] == 'BILAT16'
-    assert bench._plan({'XLA16': IDENT}, IDENT, 240.0)[0][0] == 'XLA16'
+def test_stale_marker_budgets_from_cold_defaults():
+    markers = {'XLA16': {'identity': 'other-code-state', 'wall_s': 10.0}}
+    plan = bench._plan(markers, IDENT, set(), full_budget=240.0)
+    budgets = dict((n, b) for n, b, _ in plan)
+    # Stale marker's 10 s must not shrink XLA16's budget below the cold
+    # default (2.5 * 150 + 30).
+    assert budgets['XLA16'] >= 2.5 * bench._COLD_WALL['XLA16']
+
+
+def test_budgets_scale_from_measured_walls():
+    markers = {
+        'BANK': {'identity': IDENT, 'wall_s': 20.0, 'source': 'compiled'},
+        'FULL': {'identity': IDENT, 'wall_s': 60.0, 'source': 'aot'},
+    }
+    plan = bench._plan(markers, IDENT, {'FULL'}, full_budget=240.0)
+    budgets = dict((n, b) for n, b, _ in plan)
+    assert budgets['BANK'] == 2.5 * 20.0 + 30.0
+    # FULL gets at least the caller's budget when that's larger.
+    assert budgets['FULL'] == 240.0
+
+
+def test_bilat16_never_planned():
+    # BILAT16 shares FULL's identity scheme: its artifact can never be
+    # valid when FULL's is not, so it has no ladder role (VERDICT r3 weak
+    # #4) - manual TD_BILATERAL_PALLAS runs still stamp the name.
+    for artifacts in ({'FULL', 'BILAT16'}, {'BILAT16'}):
+        plan = bench._plan({}, IDENT, artifacts, full_budget=240.0)
+        assert 'BILAT16' not in _names(plan)
+
+
+def test_full_follows_banking_rung_when_present():
+    for markers in ({}, {'BANK': {'identity': IDENT, 'wall_s': 15.0}}):
+        plan = bench._plan(markers, IDENT, {'FULL', 'BILAT16'}, full_budget=240.0)
+        assert _names(plan)[1] == 'FULL'
+
+
+def test_legacy_string_marker_is_ignored():
+    # Round-3 markers were bare identity strings: no measured wall, and
+    # they must not unlock artifact-gated rungs or crash planning.
+    plan = bench._plan({'FULL': IDENT}, IDENT, set(), full_budget=240.0)
+    assert 'FULL' not in _names(plan)
 
 
 def test_config_envs_match_names():
     # Each ladder rung's env overrides must round-trip through the name
     # the child process stamps on its JSON line.
     import os
+    knobs = ('TD_RCD_PALLAS', 'TD_BILATERAL_PALLAS', 'TD_BENCH_BATCH',
+             'TD_BENCH_FAST')
     for name, overrides in bench._CONFIGS.items():
-        saved = {k: os.environ.pop(k, None)
-                 for k in ('TD_RCD_PALLAS', 'TD_BILATERAL_PALLAS', 'TD_BENCH_BATCH')}
+        saved = {k: os.environ.pop(k, None) for k in knobs}
         try:
             os.environ.update(overrides)
             assert bench._config_name_from_env() == name
         finally:
-            for k in ('TD_RCD_PALLAS', 'TD_BILATERAL_PALLAS', 'TD_BENCH_BATCH'):
+            for k in knobs:
                 os.environ.pop(k, None)
                 if saved[k] is not None:
                     os.environ[k] = saved[k]
+
+
+def test_mismatched_env_is_custom_not_bank():
+    # ADVICE r3: TD_RCD_PALLAS=0 + batch 2 with the bilateral kernel still
+    # on matches no rung - it must not stamp (or bank a marker for) BANK.
+    import os
+    knobs = ('TD_RCD_PALLAS', 'TD_BILATERAL_PALLAS', 'TD_BENCH_BATCH',
+             'TD_BENCH_FAST')
+    saved = {k: os.environ.pop(k, None) for k in knobs}
+    try:
+        os.environ['TD_RCD_PALLAS'] = '0'
+        os.environ['TD_BENCH_BATCH'] = '2'
+        assert bench._config_name_from_env() == 'CUSTOM'
+        os.environ['TD_BENCH_FAST'] = '1'
+        assert bench._config_name_from_env() == 'CUSTOM'
+    finally:
+        for k in knobs:
+            os.environ.pop(k, None)
+            if saved[k] is not None:
+                os.environ[k] = saved[k]
+
+
+def test_program_identity_distinguishes_rungs():
+    ids = {bench._program_identity(IDENT, n) for n in bench._CONFIGS}
+    assert len(ids) == len(bench._CONFIGS)
