@@ -155,11 +155,29 @@ def build_pipeline_fn(
                 return _tonemap.filmic_tonemap(rgb, params, metrics)
         raise AssertionError(f'Invalid tone mapping: {settings.tone_mapping}')
 
-    def _front_one(bayer):
+    # Stride-8 sample planes ride OUT of the per-frame loops as second
+    # outputs so the bounds/metrics statistics never re-read a full-batch
+    # tensor (the stats pass was one of the minimal stage's ~3 HBM passes,
+    # BASELINE.md "Minimal-stage floor").  The stacked sample planes have
+    # the exact shape and element order the old batch[:, ::8][:, :, ::8]
+    # slices produced, so every downstream reduction is bit-identical.
+    def _sample_plane(rgb):
+        # two sequential 1-D strided slices (a fused 2-D strided slice
+        # lowers pathologically on TPU - see ops/tonemap.py)
+        return rgb[::8][:, ::8]
+
+    def _front_one(frame_rows, wb_gains):
+        # decode row-shaped: wide minor dim keeps the byte unpack on the
+        # VPU.  Decode + WB live INSIDE the loop so the full-batch float
+        # bayer tensor is never materialized in HBM (one read of the packed
+        # bytes replaces a write+read of the 2.7x larger float plane).
+        bayer = _packed.decode12_float(frame_rows, ids_format=ids)
+        if has_white_balance:
+            bayer = _wb.apply_white_balance(bayer, wb_gains, bayer_pattern)
         rgb = _demosaic_one(bayer)
         if settings.postprocess:
             rgb = _postprocess_one(rgb)
-        return rgb
+        return rgb, _sample_plane(rgb)
 
     def _back_one(rgb, bounds):
         rgb = normalize_image(rgb, bounds)
@@ -169,15 +187,10 @@ def build_pipeline_fn(
             rgb = _bilateral_one(rgb)
         if settings.enable_laplacian:
             rgb = _laplacian_one(rgb)
-        return rgb
+        return rgb, _sample_plane(rgb)
 
     def fused(bytes_batch, wb_gains, bounds_in, metrics_in, alpha):
-        # decode row-shaped: wide minor dim keeps the byte unpack on the VPU
         rows = bytes_batch.reshape(-1, height, (width * 3) // 2)
-        bayer = _packed.decode12_float(rows, ids_format=ids)
-
-        if has_white_balance:
-            bayer = _wb.apply_white_balance(bayer, wb_gains, bayer_pattern)
 
         # Large batches: run the memory-heavy per-frame stages sequentially
         # (lax.map = scan) so live intermediates stay one frame deep - the
@@ -186,17 +199,17 @@ def build_pipeline_fn(
         # frame already saturates the chip, so vmap parallelism across
         # frames buys nothing (measured batch 1/2/4 within 10%).
         #
-        # The per-frame chain runs as exactly TWO batch loops - demosaic+
-        # postprocess, then normalize+denoise+bilateral+laplacian (split
-        # only by the batch-global bounds EMA between them): every extra
-        # lax.map boundary pays a full-batch carry plus per-frame
+        # The per-frame chain runs as exactly TWO batch loops - decode+WB+
+        # demosaic+postprocess, then normalize+denoise+bilateral+laplacian
+        # (split only by the batch-global bounds EMA between them): every
+        # extra lax.map boundary pays a full-batch carry plus per-frame
         # slice/update fusions (profiled ~1-3 ms/frame across the old
         # 4-5 loop structure).
         # TD_MAP_CHUNK (default 1): frames vmapped per loop iteration.  The
         # chip's effective HBM bandwidth rises with working-set size (50 GB/s
         # at one 12MP plane vs 285 GB/s at 4 - dispatch overhead amortizing,
         # BASELINE.md), so chunking the map trades live memory for bandwidth.
-        if bayer.shape[0] <= 2:
+        if rows.shape[0] <= 2:
             batch_map = lambda f, x: jax.vmap(f)(x)
         else:
             chunk = int(os.environ.get('TD_MAP_CHUNK', '1'))
@@ -204,21 +217,31 @@ def build_pipeline_fn(
                 batch_map = lambda f, x: jax.lax.map(f, x, batch_size=chunk)
             else:
                 batch_map = jax.lax.map
-        rgb = batch_map(_front_one, bayer)
+        rgb, samples = batch_map(lambda r: _front_one(r, wb_gains), rows)
 
-        bounds_new = _tonemap.compute_image_bounds(rgb, stride=8)
+        # stride=1: `samples` IS the strided sample set (stacked per-frame
+        # planes), so this reduces the same elements in the same order as
+        # compute_image_bounds(rgb, stride=8) - bit-identical, minus the
+        # full-tensor re-read.
+        bounds_new = _tonemap.compute_image_bounds(samples, stride=1)
         bounds = lerp(bounds_in, bounds_new, alpha)
 
         if (settings.enable_denoise or settings.enable_bilateral
                 or settings.enable_laplacian):
-            rgb = batch_map(lambda f: _back_one(f, bounds), rgb)
+            rgb, samples = batch_map(lambda f: _back_one(f, bounds), rgb)
+            rgb_out = rgb
         else:
-            rgb = normalize_image(rgb, bounds)
+            # Elementwise normalize commutes with the strided sampling:
+            # normalizing the pass-1 sample planes gives bit-identical
+            # metrics, and the full-tensor normalize fuses into the tonemap
+            # consumer instead of materializing between stats and tail.
+            samples = normalize_image(samples, bounds)
+            rgb_out = normalize_image(rgb, bounds)
 
-        metrics_new = _tonemap.compute_image_metrics(rgb, stride=8)
+        metrics_new = _tonemap.compute_image_metrics(samples, stride=1)
         metrics = lerp(metrics_in, metrics_new, alpha)
 
-        out = _tonemap_batch(rgb, metrics)
+        out = _tonemap_batch(rgb_out, metrics)
         return out, bounds, metrics
 
     return fused

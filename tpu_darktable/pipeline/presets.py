@@ -35,6 +35,19 @@ _PER_PRESET = {
         light_adapt=0.8,
         tone_mapping=ToneMapper.reinhard,
     ),
+    # Speed preset (beyond the reference's three): the adaptive_aces chain
+    # at the denoise_overlap=2 operating point.  The reference exposes
+    # overlap 2/4/8 as a public knob (denoise.py:26-32) but its pipeline
+    # pins 4; ov=2 measures ~3x faster for the Wiener stage on TPU at a
+    # bounded quality cost.  Explicitly opt-in - the quality presets above
+    # keep the reference's pinned ov=4.
+    'fast': dict(
+        tone_gamma=1.5,
+        tone_intensity=2.0,
+        light_adapt=0.8,
+        tone_mapping=ToneMapper.adaptive_aces,
+        denoise_overlap=2,
+    ),
 }
 
 presets: dict[str, ImageProcessingSettings] = {
