@@ -173,3 +173,40 @@ def test_restart_auto_threshold():
     img = _test_image(64, 64)
     data = jpeg_ops.encode_jpeg(img, 90, 3, 1)  # restart_interval=None (auto)
     assert b'\xff\xdd' not in data.tobytes()[:800]
+
+
+def test_encode_async_matches_sync_device():
+    """encode_jpeg_async (dispatch now, finalize later) must produce the
+    exact bytes of the synchronous device-entropy path, including across
+    interleaved dispatches (the streaming double-buffer pattern)."""
+    imgs = [_test_image(), _test_image(h=64, w=80)[:, ::-1]]
+    sync = [jpeg_ops.encode_jpeg(im, quality=90, entropy='device')
+            for im in imgs]
+    # dispatch both before finalizing either
+    handles = [jpeg_ops.encode_jpeg_async(im, quality=90) for im in imgs]
+    for h, s in zip(handles, sync):
+        np.testing.assert_array_equal(h.result(), s)
+
+
+def test_encode_async_overflow_host_fallback():
+    """A tiny per-interval capacity forces the device-overflow path; the
+    PendingJpeg host fallback must still produce a valid bitstream equal to
+    the host-entropy encode."""
+    from tpu_darktable.ops import jpeg_entropy as je
+
+    img = _test_image()
+    host = jpeg_ops.encode_jpeg(img, quality=90, entropy='host')
+    pend = jpeg_ops.encode_jpeg_async(img, quality=90)
+    # sabotage: replace the pending handles with an overflowing dispatch
+    pend._pending = je.entropy_encode_device_dispatch(
+        pend._comp_blocks_dev, 1, pend._meta[-1], cap_bytes_per_interval=8)
+    np.testing.assert_array_equal(pend.result(), host)
+
+
+def test_jpeg_wrapper_encode_async():
+    from tpu_darktable.jpeg import Jpeg
+
+    img = _test_image()
+    got = Jpeg().encode_async(img, quality=92).result()
+    ref = Jpeg().encode(img, quality=92, entropy='device')
+    np.testing.assert_array_equal(got, ref)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from enum import IntEnum
 
-from .ops.jpeg import JpegException, encode_jpeg
+from .ops.jpeg import JpegException, PendingJpeg, encode_jpeg, encode_jpeg_async
 
 
 class InputFormat(IntEnum):
@@ -53,5 +53,25 @@ class Jpeg:
             entropy=entropy,
         )
 
+    def encode_async(
+        self,
+        image,
+        quality: int = 94,
+        input_format: InputFormat = InputFormat.RGBI,
+        subsampling: Subsampling = Subsampling.CSS_422,
+        restart_interval: int | None = None,
+    ) -> PendingJpeg:
+        """Dispatch a device-entropy encode; call .result() for the bytes.
 
-__all__ = ['InputFormat', 'Jpeg', 'JpegException', 'Subsampling']
+        Same bitstream as encode(entropy='device'); the split lets streaming
+        callers overlap this frame's readback with later device work."""
+        return encode_jpeg_async(
+            image,
+            quality=quality,
+            input_format=int(input_format),
+            subsampling=int(subsampling),
+            restart_interval=restart_interval,
+        )
+
+
+__all__ = ['InputFormat', 'Jpeg', 'JpegException', 'PendingJpeg', 'Subsampling']

@@ -513,10 +513,52 @@ def encode_jpeg(
     Returns:
         numpy uint8 bitstream.
     """
-    # A jax.Array input stays on device end-to-end: with entropy='device'
-    # only the compressed stream ever crosses the host<->device link (the
-    # reference's nvJPEG contract, jpeg_encoder.cu:117-173, where frames
-    # are consumed straight from GPU memory).
+    (h, w, qy, qc, comp_blocks_dev, n_comp) = _prepare_device_stage(
+        image, quality, input_format, subsampling)
+
+    if entropy not in ('auto', 'device', 'host'):
+        raise JpegException("entropy must be 'auto', 'device' or 'host'")
+
+    if progressive:
+        if entropy == 'device':
+            raise JpegException(
+                "entropy='device' supports baseline only; the progressive "
+                'scan scripts are host-side (use entropy='
+                "'auto'/'host' with progressive=True)")
+        comp_blocks = [np.asarray(cb) for cb in comp_blocks_dev]
+        return _encode_progressive(comp_blocks, h, w, qy, qc, subsampling)
+
+    restart_interval = _resolve_restart_interval(
+        restart_interval, w, subsampling, n_comp, comp_blocks_dev)
+
+    use_device = entropy == 'device'
+    if entropy == 'auto':
+        env = os.environ.get('TD_JPEG_DEVICE_ENTROPY')
+        if env is not None:
+            use_device = env.lower() not in ('0', 'false', '')
+        else:
+            use_device = jax.default_backend() == 'tpu'
+    if use_device:
+        from .jpeg_entropy import entropy_encode_device
+
+        body = entropy_encode_device(
+            comp_blocks_dev, subsampling, restart_interval)
+        if body is not None:  # None = capacity overflow -> host fallback
+            return _assemble(body, h, w, qy, qc, subsampling, n_comp,
+                             restart_interval)
+
+    return _host_entropy_bitstream(
+        comp_blocks_dev, h, w, qy, qc, subsampling, n_comp, restart_interval)
+
+
+def _prepare_device_stage(image, quality, input_format, subsampling):
+    """Shared encode prologue: validate layout, build quant tables, and
+    dispatch the on-device DCT/quant/zigzag stage.
+
+    A jax.Array input stays on device end-to-end: with entropy='device'
+    only the compressed stream ever crosses the host<->device link (the
+    reference's nvJPEG contract, jpeg_encoder.cu:117-173, where frames
+    are consumed straight from GPU memory)."""
     arr = image if isinstance(image, jax.Array) else np.asarray(image)
     if arr.dtype != np.uint8:
         raise JpegException('Input image should be uint8')
@@ -539,20 +581,11 @@ def encode_jpeg(
         jnp.asarray(qc, dtype=jnp.float32), subsampling=subsampling,
         swap_br=swap_br,
     )
-    n_comp = len(comp_blocks_dev)
+    return h, w, qy, qc, comp_blocks_dev, len(comp_blocks_dev)
 
-    if entropy not in ('auto', 'device', 'host'):
-        raise JpegException("entropy must be 'auto', 'device' or 'host'")
 
-    if progressive:
-        if entropy == 'device':
-            raise JpegException(
-                "entropy='device' supports baseline only; the progressive "
-                'scan scripts are host-side (use entropy='
-                "'auto'/'host' with progressive=True)")
-        comp_blocks = [np.asarray(cb) for cb in comp_blocks_dev]
-        return _encode_progressive(comp_blocks, h, w, qy, qc, subsampling)
-
+def _resolve_restart_interval(restart_interval, w, subsampling, n_comp,
+                              comp_blocks_dev):
     mcu_w = 16 if (subsampling == 1 and n_comp == 3) else 8
     mcus_per_row = (w + mcu_w - 1) // mcu_w
     n_mcu = comp_blocks_dev[1].shape[0] if (subsampling == 1 and n_comp == 3) \
@@ -564,28 +597,80 @@ def encode_jpeg(
     restart_interval = int(restart_interval)
     if restart_interval > 65535:
         raise JpegException('restart_interval must fit in 16 bits')
+    return restart_interval
 
-    use_device = entropy == 'device'
-    if entropy == 'auto':
-        env = os.environ.get('TD_JPEG_DEVICE_ENTROPY')
-        if env is not None:
-            use_device = env.lower() not in ('0', 'false', '')
-        else:
-            use_device = jax.default_backend() == 'tpu'
-    if use_device:
-        from .jpeg_entropy import entropy_encode_device
 
-        body = entropy_encode_device(
-            comp_blocks_dev, subsampling, restart_interval)
-        if body is not None:  # None = capacity overflow -> host fallback
-            header = _build_headers(
-                h, w, qy, qc, subsampling, n_comp, restart_interval)
-            return np.concatenate([
-                np.frombuffer(header, dtype=np.uint8),
-                body,
-                np.frombuffer(b'\xff\xd9', dtype=np.uint8),
-            ])
+def _assemble(body, h, w, qy, qc, subsampling, n_comp, restart_interval):
+    header = _build_headers(h, w, qy, qc, subsampling, n_comp, restart_interval)
+    return np.concatenate([
+        np.frombuffer(header, dtype=np.uint8),
+        body,
+        np.frombuffer(b'\xff\xd9', dtype=np.uint8),
+    ])
 
+
+class PendingJpeg:
+    """Handle for an in-flight device-entropy encode.
+
+    All device work (DCT/quant/zigzag + Huffman bit packing) is dispatched
+    at construction; :meth:`result` performs the host-side transfers and
+    finalization.  A streaming caller constructs PendingJpegs for batch N
+    immediately after dispatching batch N's ISP, dispatches batch N+1, and
+    only then calls result() - so the stream readback of batch N overlaps
+    batch N+1's device compute (the double-buffering the reference gets
+    from nvJPEG's on-stream encode, jpeg_encoder.cu:117-173)."""
+
+    def __init__(self, pending, comp_blocks_dev, h, w, qy, qc, subsampling,
+                 n_comp, restart_interval):
+        self._pending = pending
+        self._comp_blocks_dev = comp_blocks_dev
+        self._meta = (h, w, qy, qc, subsampling, n_comp, restart_interval)
+
+    def result(self) -> np.ndarray:
+        """Block for the transfers and return the full JFIF bitstream."""
+        from .jpeg_entropy import entropy_encode_device_finalize
+
+        h, w, qy, qc, subsampling, n_comp, restart_interval = self._meta
+        body = entropy_encode_device_finalize(self._pending)
+        if body is not None:
+            return _assemble(body, h, w, qy, qc, subsampling, n_comp,
+                             restart_interval)
+        # Device capacity overflow: lossless host-path fallback from the
+        # retained coefficient blocks.
+        return _host_entropy_bitstream(
+            self._comp_blocks_dev, h, w, qy, qc, subsampling, n_comp,
+            restart_interval)
+
+
+def encode_jpeg_async(
+    image,
+    quality: int = 94,
+    input_format: int = 3,
+    subsampling: int = 1,
+    restart_interval: int | None = None,
+) -> PendingJpeg:
+    """Dispatch a device-entropy JPEG encode without waiting for it.
+
+    Same bytes as ``encode_jpeg(..., entropy='device')`` (incl. the lossless
+    host fallback on capacity overflow), but returns a :class:`PendingJpeg`
+    immediately; call ``.result()`` to obtain the bitstream.  Baseline only.
+    """
+    from .jpeg_entropy import entropy_encode_device_dispatch
+
+    (h, w, qy, qc, comp_blocks_dev, n_comp) = _prepare_device_stage(
+        image, quality, input_format, subsampling)
+    restart_interval = _resolve_restart_interval(
+        restart_interval, w, subsampling, n_comp, comp_blocks_dev)
+    pending = entropy_encode_device_dispatch(
+        comp_blocks_dev, subsampling, restart_interval)
+    return PendingJpeg(pending, comp_blocks_dev, h, w, qy, qc, subsampling,
+                       n_comp, restart_interval)
+
+
+def _host_entropy_bitstream(comp_blocks_dev, h, w, qy, qc, subsampling,
+                            n_comp, restart_interval):
+    """Host-side entropy paths: native C++ single-pass scan, then the pure
+    numpy fallback.  Transfers the int16 coefficient blocks."""
     comp_blocks = [np.asarray(cb) for cb in comp_blocks_dev]
 
     # Fast path: single-pass C++ entropy scan (the nvJPEG-entropy analog).
@@ -641,4 +726,5 @@ def encode_jpeg(
     ])
 
 
-__all__ = ['JpegException', 'encode_jpeg', 'quality_to_tables']
+__all__ = ['JpegException', 'PendingJpeg', 'encode_jpeg', 'encode_jpeg_async',
+           'quality_to_tables']

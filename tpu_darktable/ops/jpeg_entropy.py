@@ -460,17 +460,21 @@ def _stuff_bytes(seg: np.ndarray) -> np.ndarray:
     return out
 
 
-def entropy_encode_device(comp_blocks, subsampling: int,
-                          restart_interval: int,
-                          cap_bytes_per_interval: int | None = None):
-    """Full baseline entropy scan with the bit packing on device.
+def entropy_encode_device_dispatch(comp_blocks, subsampling: int,
+                                   restart_interval: int,
+                                   cap_bytes_per_interval: int | None = None):
+    """Dispatch the on-device entropy scan; return pending device handles.
+
+    The returned dict holds jax arrays whose computation is enqueued but not
+    synchronized - pass it to :func:`entropy_encode_device_finalize` to do
+    the host transfer and byte finalization.  Splitting the two lets a
+    streaming caller overlap this frame's stream readback with the next
+    batch's device compute (the double-buffered readback the reference gets
+    from nvJPEG's on-stream encode, jpeg_encoder.cu:117-173).
 
     comp_blocks: per-component (N, 64) zigzag coefficient arrays (device or
     host; device inputs avoid the coefficient transfer entirely).
     restart_interval: MCUs per interval (> 0), or 0 for a single segment.
-    Returns the scan body bytes (numpy uint8, stuffed, with RSTn markers
-    between intervals) or None if the device capacity overflowed (caller
-    falls back to the host path).
     """
     n_mcu = (comp_blocks[1].shape[0]
              if (subsampling == 1 and len(comp_blocks) == 3)
@@ -489,12 +493,21 @@ def entropy_encode_device(comp_blocks, subsampling: int,
     stream, iv_bytes, total_words, overflow = _entropy_pack_device(
         tuple(jnp.asarray(cb) for cb in comp_blocks),
         subsampling, ri, cap_words)
+    return {'stream': stream, 'iv_bytes': iv_bytes,
+            'total_words': total_words, 'overflow': overflow, 'n_iv': n_iv}
 
-    iv_bytes = np.asarray(iv_bytes)
-    if bool(np.asarray(overflow)):
+
+def entropy_encode_device_finalize(pending):
+    """Host side of the device entropy scan: transfer the packed words and
+    assemble the scan body (stuffing + RSTn markers).  Returns the body
+    bytes (numpy uint8) or None if the device capacity overflowed (caller
+    falls back to the host path)."""
+    iv_bytes = np.asarray(pending['iv_bytes'])
+    if bool(np.asarray(pending['overflow'])):
         return None
-    used = int(np.asarray(total_words))
-    words = np.asarray(stream[:used])          # the only bulk transfer
+    n_iv = pending['n_iv']
+    used = int(np.asarray(pending['total_words']))
+    words = np.asarray(pending['stream'][:used])   # the only bulk transfer
     raw = words.astype('>u4').tobytes()
     raw = np.frombuffer(raw, dtype=np.uint8)
 
@@ -511,4 +524,17 @@ def entropy_encode_device(comp_blocks, subsampling: int,
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
 
-__all__ = ['entropy_encode_device']
+def entropy_encode_device(comp_blocks, subsampling: int,
+                          restart_interval: int,
+                          cap_bytes_per_interval: int | None = None):
+    """Full baseline entropy scan with the bit packing on device
+    (synchronous dispatch + finalize; see the _dispatch/_finalize pair for
+    the overlapped streaming form).  Returns the scan body bytes (numpy
+    uint8, stuffed, with RSTn markers between intervals) or None if the
+    device capacity overflowed (caller falls back to the host path)."""
+    return entropy_encode_device_finalize(entropy_encode_device_dispatch(
+        comp_blocks, subsampling, restart_interval, cap_bytes_per_interval))
+
+
+__all__ = ['entropy_encode_device', 'entropy_encode_device_dispatch',
+           'entropy_encode_device_finalize']
