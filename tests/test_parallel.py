@@ -312,3 +312,54 @@ def test_sharded_image_processor_multicamera(rng):
     # divisibility guard
     with pytest.raises(ValueError, match='divisible'):
         sharded.process_batch(jnp.stack([frames['cam00']] * 5))
+
+
+def _encode_batch(rng, n, h, w):
+    mosaics = (rng.random((n, h, w)) * 0.8).astype(np.float32)
+    return np.stack([
+        np.asarray(packed.encode12_float(jnp.asarray(m.reshape(-1)))) for m in mosaics
+    ])
+
+
+@pytest.mark.parametrize('cam_ways,band_ways,n_frames', [
+    (4, 2, 12),  # the beetroot deployment shape: 12-camera rig on 8 chips
+    (2, 2, 4),   # 1 frame per camera group: exercises the vmap path
+])
+def test_grid_pipeline_matches_unsharded(rng, cam_ways, band_ways, n_frames):
+    """Camera x band 2-D mesh (VERDICT r3 missing #3): the composed
+    batch+spatial sharding must equal the unsharded fused program."""
+    from tpu_darktable.parallel import build_grid_pipeline_fn, make_grid_mesh
+
+    h, w = 256, 96  # band 128 >= halo window requirement at 2-way splits
+    byte_batch = _encode_batch(rng, n_frames, h, w)
+
+    settings = _settings()
+    wb = jnp.asarray([1.2, 1.0, 1.1])
+    b0 = jnp.zeros(2, jnp.float32)
+    m0 = jnp.zeros(5, jnp.float32)
+    alpha = jnp.float32(1.0)
+
+    ref_fn = jax.jit(build_pipeline_fn(settings, (w, h), td.BayerPattern.RGGB,
+                                       td.PackedFormat.Packed12, True,
+                                       rcd_strict_alias=False))
+    ref_out, ref_b, ref_m = ref_fn(jnp.asarray(byte_batch), wb, b0, m0, alpha)
+
+    mesh = make_grid_mesh(cam_ways, band_ways)
+    grid_fn = jax.jit(build_grid_pipeline_fn(
+        settings, (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12,
+        True, mesh, halo=64))
+    out, b, m = grid_fn(jnp.asarray(byte_batch), wb, b0, m0, alpha)
+
+    np.testing.assert_allclose(np.asarray(b), np.asarray(ref_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=1e-5, atol=1e-6)
+    diff = np.abs(np.asarray(out).astype(int) - np.asarray(ref_out).astype(int))
+    assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
+
+
+def test_grid_mesh_shape_guards():
+    from tpu_darktable.parallel import make_grid_mesh
+
+    mesh = make_grid_mesh(4, 2)
+    assert mesh.shape == {'camera': 4, 'band': 2}
+    with pytest.raises(ValueError, match='need 16 devices'):
+        make_grid_mesh(4, 4)

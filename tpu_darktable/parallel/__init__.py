@@ -7,9 +7,9 @@ the collectives (the bounds/metrics reductions become all-reduces over ICI)
 without any hand-written communication code.
 """
 
-from .mesh import make_mesh, shard_batch, sharded_pipeline
+from .mesh import make_grid_mesh, make_mesh, shard_batch, sharded_pipeline
 from .spatial import spatial_shard_map_demosaic
-from .spatial_pipeline import build_spatial_pipeline_fn
+from .spatial_pipeline import build_grid_pipeline_fn, build_spatial_pipeline_fn
 
-__all__ = ['build_spatial_pipeline_fn', 'make_mesh', 'shard_batch', 'sharded_pipeline',
-           'spatial_shard_map_demosaic']
+__all__ = ['build_grid_pipeline_fn', 'build_spatial_pipeline_fn', 'make_grid_mesh',
+           'make_mesh', 'shard_batch', 'sharded_pipeline', 'spatial_shard_map_demosaic']

@@ -21,6 +21,22 @@ def make_mesh(devices=None, axis_name: str = 'batch') -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_grid_mesh(camera_ways: int, band_ways: int, devices=None,
+                   camera_axis: str = 'camera', band_axis: str = 'band') -> Mesh:
+    """2-D (camera, band) mesh: frames shard over cameras, each frame's rows
+    over bands (the v5e-8 rig deployment shape, e.g. 4x2 for a 12-camera rig
+    at half-frame latency).  Camera groups are adjacent devices so the
+    latency-critical band collectives ride neighboring ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    need = camera_ways * band_ways
+    if len(devices) < need:
+        raise ValueError(f'need {need} devices for a {camera_ways}x{band_ways} '
+                         f'mesh, have {len(devices)}')
+    grid = np.asarray(devices[:need]).reshape(camera_ways, band_ways)
+    return Mesh(grid, (camera_axis, band_axis))
+
+
 def shard_batch(array, mesh: Mesh, axis_name: str = 'batch'):
     """Place a batch-leading array with its leading axis sharded on the mesh."""
     spec = P(axis_name, *([None] * (array.ndim - 1)))

@@ -1,4 +1,5 @@
-"""Spatially-sharded FULL pipeline: one frame, row bands across the mesh.
+"""Spatially-sharded FULL pipeline: row bands across the mesh, optionally
+composed with camera/batch sharding on a 2-D mesh.
 
 Single-frame latency scaling (the SP analog of SURVEY.md section 2.21 for
 the whole chain, not just the demosaic): every local stage - decode, WB,
@@ -16,6 +17,14 @@ The local-Laplacian stage is the one whose influence radius exceeds any
 halo (max_supp spans the frame): it all-gathers the core-band luminance
 into the full frame and computes the identical full-frame pyramid on each
 shard (exact, redundant compute — see _laplacian_sharded).
+
+2-D composition (``build_grid_pipeline_fn``): the v5e-8 deployment shape
+for a multi-camera rig at low latency shards cameras x row-bands on a
+``(camera, band)`` mesh — e.g. the 12-camera beetroot rig as 4-way camera
+x 2-way spatial on 8 chips.  Green-eq/laplacian collectives stay per-frame
+(band axis only); the bounds/metrics EMA statistics are batch-global in
+the fused program (image_processor.py) and therefore reduce over BOTH mesh
+axes here.
 
 Alignment requirements (asserted): band and halo multiples of 8 (stride-8
 statistics sampling and CFA phase), halo >= 64, and integer bilateral
@@ -51,21 +60,23 @@ from ..pipeline.util import lerp, normalize_image
 DEFAULT_HALO = 64
 
 
-def build_spatial_pipeline_fn(
+def _build_banded_pipeline_fn(
     settings: ImageProcessingSettings,
     image_size: tuple[int, int],
     bayer_pattern: BayerPattern,
     packed_format: PackedFormat,
     has_white_balance: bool,
     mesh: Mesh,
-    axis_name: str = 'batch',
-    halo: int = DEFAULT_HALO,
+    band_axis: str,
+    camera_axis: str | None,
+    halo: int,
 ):
-    """Returns fn(frame_bytes (n_bytes,), wb (3,), bounds (2,), metrics (5,),
-    alpha) -> (uint8 (H, W, 3) band-sharded, bounds', metrics')."""
     width, height = image_size
-    n = mesh.shape[axis_name]
+    n = mesh.shape[band_axis]
     ids = packed_format is PackedFormat.Packed12_IDS
+    # Bounds/metrics are batch-global in the fused program: reduce over the
+    # whole mesh.  Green-eq and the laplacian gather are per-frame: band only.
+    stat_axes = (band_axis,) if camera_axis is None else (camera_axis, band_axis)
 
     if height % n:
         raise ValueError(f'height {height} not divisible by {n} shards')
@@ -95,7 +106,7 @@ def build_spatial_pipeline_fn(
         raise AssertionError(f'Invalid debayer method: {settings.debayer}')
 
     def _green_eq_global_sharded(rgb, core):
-        """Green equilibration with globally-psum'd G1/G2 sums
+        """Green equilibration with G1/G2 sums psum'd over the band axis
         (postprocess.cu:175-255).  `core` masks this shard's own rows."""
         h_blk, w_blk = rgb.shape[:2]
         g = rgb[..., 1]
@@ -105,8 +116,8 @@ def build_spatial_pipeline_fn(
         # rows within a core band are always < 2*(H//2) when H is even.
         g1 = masks['g'] & ((rows & 1) == 0) & core
         g2 = masks['g'] & ((rows & 1) == 1) & core
-        sum1 = jax.lax.psum(jnp.sum(jnp.where(g1, g, 0.0)), axis_name)
-        sum2 = jax.lax.psum(jnp.sum(jnp.where(g2, g, 0.0)), axis_name)
+        sum1 = jax.lax.psum(jnp.sum(jnp.where(g1, g, 0.0)), band_axis)
+        sum2 = jax.lax.psum(jnp.sum(jnp.where(g2, g, 0.0)), band_axis)
         ratio = jnp.where((sum1 > 0.0) & (sum2 > 0.0), sum2 / jnp.maximum(sum1, 1e-30), 1.0)
         is_g1 = masks['g'] & ((rows & 1) == 0)
         new_g = jnp.where(is_g1, g * ratio, g)
@@ -167,7 +178,7 @@ def build_spatial_pipeline_fn(
             input_clipped=settings.enable_denoise or settings.enable_bilateral,
         )
         lum_core = jax.lax.dynamic_slice(lum, (off, jnp.int32(0)), (band, width))
-        lum_full = jax.lax.all_gather(lum_core, axis_name, axis=0, tiled=True)
+        lum_full = jax.lax.all_gather(lum_core, band_axis, axis=0, tiled=True)
         params = _lap.LaplacianParams(
             sigma=settings.lap_sigma, shadows=settings.lap_shadows,
             highlights=settings.lap_highlights, clarity=settings.lap_clarity,
@@ -192,49 +203,49 @@ def build_spatial_pipeline_fn(
             case ToneMapper.filmic:
                 return _tonemap.filmic_tonemap(rgb, params, metrics)
 
-    def shard_fn(frame_bytes, wb_gains, bounds_in, metrics_in, alpha):
-        i = jax.lax.axis_index(axis_name)
+    def _band_geometry():
+        """(win, off, core_rows (block,1) bool) for this shard's band."""
+        i = jax.lax.axis_index(band_axis)
         start = i * band
         win = jnp.clip(start - halo, 0, height - block)
         off = start - win  # core offset within the block
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        core_rows = (r_iota >= off) & (r_iota < off + band)
+        return win, off, core_rows
 
+    def _front_block(frame_bytes, wb_gains, win, core_rows):
+        """decode12 -> WB -> demosaic -> postprocess on this shard's block."""
         rows = frame_bytes.reshape(height, row_bytes)
         blk_bytes = jax.lax.dynamic_slice(rows, (win, jnp.int32(0)), (block, row_bytes))
         bayer = _packed.decode12_float(blk_bytes, ids_format=ids)
-
         if has_white_balance:
             bayer = _wb.apply_white_balance(bayer, wb_gains, bayer_pattern)
-
         rgb = _demosaic_one(bayer)
-
-        # core mask: this shard's own rows within the block.  Strided stats
-        # sampling aligns because win, band, halo are multiples of 8.
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-        core_rows = (r_iota >= off) & (r_iota < off + band)
-        core = jnp.broadcast_to(core_rows, (block, width))
-
         if settings.postprocess:
+            core = jnp.broadcast_to(core_rows, (block, width))
             rgb = _postprocess_block(rgb, core)
+        return rgb
 
-        # global bounds via psum-min/max of strided core samples
+    def _bounds_extrema(rgb, core_s):
+        """This shard's strided-sample extrema (stats sampling aligns with
+        the full frame because win, band, halo are multiples of 8)."""
         sampled = rgb[::8, ::8, :]
-        core_s = core_rows[::8, :]
         smin = jnp.min(jnp.where(core_s[..., None], sampled, jnp.inf))
         smax = jnp.max(jnp.where(core_s[..., None], sampled, -jnp.inf))
-        bounds_new = jnp.stack(
-            (jax.lax.pmin(smin, axis_name), jax.lax.pmax(smax, axis_name))
-        )
-        bounds = lerp(bounds_in, bounds_new, alpha)
-        rgb = normalize_image(rgb, bounds)
+        return smin, smax
 
+    def _back_block(rgb, bounds, off, win):
+        rgb = normalize_image(rgb, bounds)
         if settings.enable_denoise:
             rgb = _denoise_one(rgb)
         if settings.enable_bilateral:
             rgb = _bilateral_one(rgb)
         if settings.enable_laplacian:
             rgb = _laplacian_sharded(rgb, off, win)
+        return rgb
 
-        # global metrics via psum'd masked sums (color_adaption.cu semantics)
+    def _metrics_sums(rgb, core_s):
+        """Masked metric sums + valid count (color_adaption.cu semantics)."""
         sampled = rgb[::8, ::8, :].astype(jnp.float32)
         cmask = core_s.astype(jnp.float32)  # (bs, 1), broadcasts over cols
         saturated = jnp.any(sampled >= 0.99, axis=-1)
@@ -248,26 +259,140 @@ def build_spatial_pipeline_fn(
             jnp.sum(sampled[..., 1] * m),
             jnp.sum(sampled[..., 2] * m),
         ))
-        sums = jax.lax.psum(sums, axis_name)
-        valid = jnp.maximum(jax.lax.psum(jnp.sum(m), axis_name), 1.0)
-        metrics_new = (sums / valid).astype(jnp.float32)
-        metrics = lerp(metrics_in, metrics_new, alpha)
+        return sums, jnp.sum(m)
+
+    def shard_fn(frame_bytes, wb_gains, bounds_in, metrics_in, alpha):
+        """Single-frame band shard (1-D mesh)."""
+        win, off, core_rows = _band_geometry()
+        core_s = core_rows[::8, :]
+
+        rgb = _front_block(frame_bytes, wb_gains, win, core_rows)
+
+        smin, smax = _bounds_extrema(rgb, core_s)
+        bounds_new = jnp.stack(
+            (jax.lax.pmin(smin, stat_axes), jax.lax.pmax(smax, stat_axes))
+        )
+        bounds = lerp(bounds_in, bounds_new, alpha)
+
+        rgb = _back_block(rgb, bounds, off, win)
+
+        sums, valid = _metrics_sums(rgb, core_s)
+        sums = jax.lax.psum(sums, stat_axes)
+        valid = jnp.maximum(jax.lax.psum(valid, stat_axes), 1.0)
+        metrics = lerp(metrics_in, (sums / valid).astype(jnp.float32), alpha)
 
         out = _tonemap_block(rgb, metrics)
         out_band = jax.lax.dynamic_slice(out, (off, jnp.int32(0), jnp.int32(0)), (band, width, 3))
         return out_band, bounds, metrics
 
+    def shard_fn_grid(bytes_local, wb_gains, bounds_in, metrics_in, alpha):
+        """Per-shard body on the 2-D mesh: a local batch of frames, each
+        processed on this shard's row band.  Mirrors the fused program's
+        two-loop structure (front loop -> batch-global bounds -> back loop,
+        image_processor.py) with the loops over the LOCAL frames and the
+        global reductions over both mesh axes."""
+        win, off, core_rows = _band_geometry()
+        core_s = core_rows[::8, :]
+        b_local = bytes_local.shape[0]
+        # lax.map (scan) keeps live intermediates one frame deep, exactly as
+        # the fused builder does for batches > 2; collectives inside the map
+        # body run in lockstep because every shard has the same trip count.
+        if b_local <= 2:
+            batch_map = lambda f, x: jax.vmap(f)(x)
+        else:
+            batch_map = jax.lax.map
+
+        rgb = batch_map(lambda fb: _front_block(fb, wb_gains, win, core_rows),
+                        bytes_local)
+
+        smin, smax = jax.vmap(lambda f: _bounds_extrema(f, core_s))(rgb)
+        bounds_new = jnp.stack((
+            jax.lax.pmin(jnp.min(smin), stat_axes),
+            jax.lax.pmax(jnp.max(smax), stat_axes),
+        ))
+        bounds = lerp(bounds_in, bounds_new, alpha)
+
+        if (settings.enable_denoise or settings.enable_bilateral
+                or settings.enable_laplacian):
+            rgb = batch_map(lambda f: _back_block(f, bounds, off, win), rgb)
+        else:
+            rgb = normalize_image(rgb, bounds)
+
+        sums, valid = jax.vmap(lambda f: _metrics_sums(f, core_s))(rgb)
+        sums = jax.lax.psum(jnp.sum(sums, axis=0), stat_axes)
+        valid = jnp.maximum(jax.lax.psum(jnp.sum(valid), stat_axes), 1.0)
+        metrics = lerp(metrics_in, (sums / valid).astype(jnp.float32), alpha)
+
+        out = _tonemap_block(rgb, metrics)
+        out_band = jax.lax.dynamic_slice(
+            out, (jnp.int32(0), off, jnp.int32(0), jnp.int32(0)),
+            (b_local, band, width, 3))
+        return out_band, bounds, metrics
+
     # check_vma=False: the Pallas kernels inside (grid_blur, color_smooth)
     # declare their out_shape via ShapeDtypeStruct without a vma annotation,
     # which jax's varying-mesh-axes checker rejects under shard_map.
-    fn = shard_map(
-        shard_fn,
+    if camera_axis is None:
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(band_axis), P(), P()),
+            check_vma=False,
+        )
+    return shard_map(
+        shard_fn_grid,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(axis_name), P(), P()),
+        in_specs=(P(camera_axis), P(), P(), P(), P()),
+        out_specs=(P(camera_axis, band_axis), P(), P()),
         check_vma=False,
     )
-    return fn
 
 
-__all__ = ['DEFAULT_HALO', 'build_spatial_pipeline_fn']
+def build_spatial_pipeline_fn(
+    settings: ImageProcessingSettings,
+    image_size: tuple[int, int],
+    bayer_pattern: BayerPattern,
+    packed_format: PackedFormat,
+    has_white_balance: bool,
+    mesh: Mesh,
+    axis_name: str = 'batch',
+    halo: int = DEFAULT_HALO,
+):
+    """Single-frame row-band sharding over a 1-D mesh.
+
+    Returns fn(frame_bytes (n_bytes,), wb (3,), bounds (2,), metrics (5,),
+    alpha) -> (uint8 (H, W, 3) band-sharded, bounds', metrics')."""
+    return _build_banded_pipeline_fn(
+        settings, image_size, bayer_pattern, packed_format, has_white_balance,
+        mesh, band_axis=axis_name, camera_axis=None, halo=halo,
+    )
+
+
+def build_grid_pipeline_fn(
+    settings: ImageProcessingSettings,
+    image_size: tuple[int, int],
+    bayer_pattern: BayerPattern,
+    packed_format: PackedFormat,
+    has_white_balance: bool,
+    mesh: Mesh,
+    camera_axis: str = 'camera',
+    band_axis: str = 'band',
+    halo: int = DEFAULT_HALO,
+):
+    """Camera x row-band sharding over a 2-D mesh (SURVEY section 2.21 b+c
+    composed): frames shard over ``camera_axis``, each frame's rows over
+    ``band_axis`` — e.g. a 12-camera rig on v5e-8 as a (4, 2) mesh, three
+    frames per camera group at half-frame latency.
+
+    Returns fn(bytes_batch (B, n_bytes), wb (3,), bounds (2,), metrics (5,),
+    alpha) -> (uint8 (B, H, W, 3) sharded (camera, band), bounds', metrics').
+    B must divide evenly over the camera axis.
+    """
+    return _build_banded_pipeline_fn(
+        settings, image_size, bayer_pattern, packed_format, has_white_balance,
+        mesh, band_axis=band_axis, camera_axis=camera_axis, halo=halo,
+    )
+
+
+__all__ = ['DEFAULT_HALO', 'build_spatial_pipeline_fn', 'build_grid_pipeline_fn']
