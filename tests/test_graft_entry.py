@@ -25,8 +25,9 @@ def test_dryrun_multichip_full():
     g.dryrun_multichip(8)
 
 
-@slow
 def test_entry_compiles():
+    """Default-run guard for the driver's single-chip compile check
+    (VERDICT r3 weak #6: one small-geometry jit, seconds on CPU)."""
     import __graft_entry__ as g
 
     fn, args = g.entry()
