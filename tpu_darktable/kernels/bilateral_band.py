@@ -46,21 +46,23 @@ _W_DERIV = (-2.0 / 16.0, -4.0 / 16.0, 0.0, 4.0 / 16.0, 2.0 / 16.0)
 
 
 def _kernel(ph_prev, ph_cur, ph_next, o_ref, *, s: int, bg: int, gz: int,
-            h: int, wg: int, sigma_r: float, z_mode: str):
+            halo: int, h: int, wg: int, sigma_r: float, z_mode: str):
     """One band of bg grid rows -> s*bg output pixel rows (phase planes).
 
-    ph_*: (s, s*bg, wg) column-phase blocks of the luminance; plane m
-    holds lum[:, m::s].  Everything row-wise is sublane work.
+    ph_cur: (s, s*bg, wg) column-phase block of the luminance; plane m
+    holds lum[:, m::s].  ph_prev/ph_next are THIN `halo`-row neighbor
+    views (the row reach is only 3s - full-band neighbor blocks tripled
+    the input DMA).  Everything row-wise is sublane work.
     """
     i = pl.program_id(0)
     band = s * bg
     gx = wg + 1
     contrib = 1.0 / float(s * s)
 
-    ph = jnp.concatenate([ph_prev[:], ph_cur[:], ph_next[:]], axis=1)
-    # Pixel rows needed: [i*band - 3s, i*band + band + 3s) -> window rows
-    # [band - 3s, 2*band + 3s) (the input is padded by one leading band).
-    ph_t = ph[:, band - 3 * s : 2 * band + 3 * s]  # (s, R, wg)
+    # Pixel rows needed: [i*band - 3s, i*band + band + 3s).
+    ph_t = jnp.concatenate(
+        [ph_prev[:, halo - 3 * s :], ph_cur[:], ph_next[:, : 3 * s]],
+        axis=1)  # (s, R, wg)
     r_rows = band + 6 * s
     row0 = i * band - 3 * s  # true pixel row of ph_t row 0
 
@@ -190,15 +192,28 @@ def bilateral_band(lum, *, s: int, gz: int, sigma_r: float,
     phases = jnp.stack([lum.astype(_F32)[:, m::s] for m in range(s)], axis=0)
     phases = jnp.pad(phases, ((0, 0), (band, hp - h - band), (0, 0)))
 
+    # Thin halo blocks for the +-3s row reach: the smallest sublane-aligned
+    # row count that divides the band (so neighbor views index in whole
+    # blocks); full-band views otherwise (unreachable for practical s).
+    halo = -(-3 * s // 8) * 8
+    while halo < band and band % halo:
+        halo += 8
+    if halo > band or band % halo:
+        halo = band  # degenerate full-band views (tiny/odd bands only)
+    q = band // halo
+
     kernel = functools.partial(
-        _kernel, s=s, bg=bg, gz=gz, h=h, wg=wg,
+        _kernel, s=s, bg=bg, gz=gz, halo=halo, h=h, wg=wg,
         sigma_r=float(sigma_r), z_mode=z_mode)
-    view = lambda sft: pl.BlockSpec(
-        (s, band, wg), lambda i, sft=sft: (0, i + sft, 0))
+    in_specs = [
+        pl.BlockSpec((s, halo, wg), lambda i: (0, (i + 1) * q - 1, 0)),
+        pl.BlockSpec((s, band, wg), lambda i: (0, i + 1, 0)),
+        pl.BlockSpec((s, halo, wg), lambda i: (0, (i + 2) * q, 0)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n_b,),
-        in_specs=[view(0), view(1), view(2)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((s, band, wg), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((s, n_b * band, wg), _F32),
         compiler_params=pltpu.CompilerParams(
@@ -237,7 +252,8 @@ def bilateral_band_vmem_ok(s: int, gz: int, w: int, bg: int = 64) -> bool:
     wg = w // s
     gx = wg + 1
     band = s * bg
-    views = 3 * s * band * wg * 4
+    halo = -(-3 * s // 8) * 8  # thin neighbor views (see bilateral_band)
+    views = s * (band + 2 * halo) * wg * 4
     slabs = 2 * gz * (bg + 2) * gx * 4  # slabs + zed
     work = (band + 6 * s) * (gx + 4) * 4 * 4
     out = s * band * wg * 4 * 2

@@ -18,9 +18,11 @@ On diff planes with gc = max(g_raw, 0) this is the recurrence
 and the caller reconstructs C = d_N + gc exactly (d_N = max(..., 0) - gc).
 
 Layout: the two diff planes stack to (2, Hp, Wp) with bh zero rows of top
-pad and n_passes zero columns per side; three row-block views of the same
-array provide the +-bh halo.  Every in-kernel op is a static sublane/lane
-slice, min/max, or select - no lane reshapes (Mosaic cannot lower those).
+pad and n_passes zero columns per side; a bh-row center view plus two THIN
+halo views (ceil(n_passes/8)*8 rows - the cascade's actual row reach) of
+the same array provide the band's neighborhood without re-DMA-ing full
+neighbor blocks.  Every in-kernel op is a static sublane/lane slice,
+min/max, or select - no lane reshapes (Mosaic cannot lower those).
 """
 
 from __future__ import annotations
@@ -36,19 +38,25 @@ from ..ops._stencil import median9
 
 
 def _kernel(d_prev, d_cur, d_next, g_prev, g_cur, g_next, o_ref,
-            *, bh: int, h: int, w: int, n_passes: int):
-    """One (bh, W) output band of diffs through all n_passes."""
+            *, bh: int, halo: int, h: int, w: int, n_passes: int):
+    """One (bh, W) output band of diffs through all n_passes.
+
+    d_prev/d_next (and g_prev/g_next) are THIN halo blocks of `halo` rows
+    each - the cascade's row reach is only n_passes, so DMA-ing full
+    bh-row neighbor blocks (the v1 three-view layout) tripled the input
+    traffic of this HBM-bound kernel for rows it never read.
+    """
     n = n_passes
     i = pl.program_id(1)
     d = jnp.concatenate([d_prev[0], d_cur[0], d_next[0]], axis=0)
     g_raw = jnp.concatenate([g_prev[:], g_cur[:], g_next[:]], axis=0)
     gc = jnp.maximum(g_raw, 0.0)
-    row0_true = i * bh - bh  # true image row of concat row 0
+    row0_true = i * bh - halo  # true image row of concat row 0
 
     # d covers concat rows [lo, hi) and true cols [-c, W + c)
     lo, c = 0, n
     for p in range(1, n + 1):
-        lo_p = bh - (n - p)
+        lo_p = halo - (n - p)
         c_p = n - p
         n_rows = bh + 2 * (n - p)
         width = w + 2 * c_p
@@ -101,6 +109,16 @@ def color_smooth_diffs(diffs, g, *, n_passes: int, bh: int = 32,
     hp = (n_rb + 2) * bh
     wp = w + 2 * n_passes
 
+    # Thin halo blocks: the cascade reaches n_passes rows past the band,
+    # so the neighbor views only need ceil(n/8)*8 rows (sublane-aligned),
+    # not full bh-row blocks (which tripled this kernel's input DMA).
+    # Block indexing needs bh % halo == 0; degenerate to full blocks
+    # otherwise (only reachable at extreme n_passes).
+    halo = -(-n_passes // 8) * 8
+    if bh % halo:
+        halo = bh
+    q = bh // halo
+
     dp = jnp.pad(
         diffs.astype(jnp.float32),
         ((0, 0), (bh, hp - h - bh), (n_passes, n_passes)),
@@ -109,14 +127,19 @@ def color_smooth_diffs(diffs, g, *, n_passes: int, bh: int = 32,
         g.astype(jnp.float32), ((bh, hp - h - bh), (n_passes, n_passes))
     )
 
-    kernel = functools.partial(_kernel, bh=bh, h=h, w=w, n_passes=n_passes)
+    kernel = functools.partial(_kernel, bh=bh, halo=halo, h=h, w=w,
+                               n_passes=n_passes)
+    # prev: last `halo` rows of band i-1 (pixel rows [i*bh - halo, i*bh),
+    # shifted +bh by the top pad); next: first `halo` rows of band i+1.
     d_specs = [
-        pl.BlockSpec((1, bh, wp), lambda ci, i, s=s: (ci, i + s, 0))
-        for s in range(3)
+        pl.BlockSpec((1, halo, wp), lambda ci, i: (ci, (i + 1) * q - 1, 0)),
+        pl.BlockSpec((1, bh, wp), lambda ci, i: (ci, i + 1, 0)),
+        pl.BlockSpec((1, halo, wp), lambda ci, i: (ci, (i + 2) * q, 0)),
     ]
     g_specs = [
-        pl.BlockSpec((bh, wp), lambda ci, i, s=s: (i + s, 0))
-        for s in range(3)
+        pl.BlockSpec((halo, wp), lambda ci, i: ((i + 1) * q - 1, 0)),
+        pl.BlockSpec((bh, wp), lambda ci, i: (i + 1, 0)),
+        pl.BlockSpec((halo, wp), lambda ci, i: ((i + 2) * q, 0)),
     ]
     out = pl.pallas_call(
         kernel,

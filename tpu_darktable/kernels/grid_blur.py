@@ -26,10 +26,12 @@ W_GAUSS = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 W_DERIV = (-2.0 / 16.0, -4.0 / 16.0, 0.0, 4.0 / 16.0, 2.0 / 16.0)
 
 
-def _kernel(g_prev, g_cur, g_next, o_ref, *, bh: int, gx: int, wz: tuple):
-    g = jnp.concatenate([g_prev[:], g_cur[:], g_next[:]], axis=1)
-    # rows [bh - 2, 2bh + 2) are all that feed the output band
-    g = g[:, bh - 2 : 2 * bh + 2]
+def _kernel(g_prev, g_cur, g_next, o_ref, *, bh: int, halo: int, gx: int,
+            wz: tuple):
+    # g_prev/g_next are THIN halo views (the row reach is only 2; full
+    # bh-row neighbor blocks tripled the kernel's input DMA).
+    g = jnp.concatenate(
+        [g_prev[:, halo - 2 :], g_cur[:], g_next[:, :2]], axis=1)
     gz, n_rows, _ = g.shape
 
     # blur x (lanes): inputs carry 2 zero cols per side
@@ -67,10 +69,13 @@ def grid_blur_xyz(grid, *, bh: int = 64, z_mode: str = 'derivative',
 
     gp = jnp.pad(grid.astype(jnp.float32), ((0, 0), (bh, gyp - gy - bh), (2, 2)))
     wz = W_DERIV if z_mode == 'derivative' else W_GAUSS
-    kernel = functools.partial(_kernel, bh=bh, gx=gx, wz=wz)
+    halo = 8 if bh % 8 == 0 else bh  # row reach is 2; sublane-aligned
+    q = bh // halo
+    kernel = functools.partial(_kernel, bh=bh, halo=halo, gx=gx, wz=wz)
     views = [
-        pl.BlockSpec((gz, bh, gx + 4), lambda i, s=s: (0, i + s, 0))
-        for s in range(3)
+        pl.BlockSpec((gz, halo, gx + 4), lambda i: (0, (i + 1) * q - 1, 0)),
+        pl.BlockSpec((gz, bh, gx + 4), lambda i: (0, i + 1, 0)),
+        pl.BlockSpec((gz, halo, gx + 4), lambda i: (0, (i + 2) * q, 0)),
     ]
     out = pl.pallas_call(
         kernel,

@@ -15,8 +15,9 @@ Semantics match ops/nlm.py exactly:
   global row/col iotas before the box sums),
 - weight = exp(-dist / (h^2 * n_patch * C)), applied to the shifted image.
 
-Layout: channel-planar (C, Hp, Wp); three row-block views give the halo;
-every op is a static slice, elementwise arithmetic, or exp.
+Layout: channel-planar (C, Hp, Wp); a bh-row center view plus two thin
+halo views (the +-(sr+pr) row reach, sublane-aligned) give the band its
+neighborhood; every op is a static slice, elementwise arithmetic, or exp.
 """
 
 from __future__ import annotations
@@ -30,18 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(inv_h2_ref, x_prev, x_cur, x_next, o_ref,
-            *, bh: int, h: int, w: int, sr: int, pr: int):
-    """One (C, bh, w) output band: all (2sr+1)^2 offsets accumulated."""
+            *, bh: int, halo: int, h: int, w: int, sr: int, pr: int):
+    """One (C, bh, w) output band: all (2sr+1)^2 offsets accumulated.
+
+    x_prev/x_next are THIN `halo`-row neighbor views - the row reach is
+    only sr + pr, so full bh-row neighbor blocks tripled the input DMA.
+    """
     inv_h2 = inv_h2_ref[0]
     xs = jnp.concatenate([x_prev[:], x_cur[:], x_next[:]], axis=1)
     c = xs.shape[0]
     i = pl.program_id(0)
-    row0_true = i * bh - bh  # true image row of concat row 0
+    row0_true = i * bh - halo  # true image row of concat row 0
 
-    # d2 extent: rows [bh - pr, 2bh + pr), true cols [-pr, w + pr)
+    # d2 extent: rows [halo - pr, halo + bh + pr), true cols [-pr, w + pr)
     n_d2 = bh + 2 * pr
     w_d2 = w + 2 * pr
-    r_d2 = bh - pr
+    r_d2 = halo - pr
     c_d2 = sr  # concat col of true col -pr
 
     x_ctr = xs[:, r_d2 : r_d2 + n_d2, c_d2 : c_d2 + w_d2]
@@ -106,10 +111,16 @@ def nlm_core(planes, inv_h2, *, search_radius: int = 3, patch_radius: int = 1,
     xp = jnp.pad(xe, ((0, 0), (bh - m, hp - h - bh - m), (0, 0)))
     wp = w + 2 * m
 
-    kernel = functools.partial(_kernel, bh=bh, h=h, w=w, sr=sr, pr=pr)
+    halo = max(8, -(-m // 8) * 8)  # thin neighbor views for the +-m reach
+    if bh % halo:
+        halo = bh
+    q = bh // halo
+    kernel = functools.partial(_kernel, bh=bh, halo=halo, h=h, w=w, sr=sr,
+                               pr=pr)
     views = [
-        pl.BlockSpec((c, bh, wp), lambda i, s=s: (0, i + s, 0))
-        for s in range(3)
+        pl.BlockSpec((c, halo, wp), lambda i: (0, (i + 1) * q - 1, 0)),
+        pl.BlockSpec((c, bh, wp), lambda i: (0, i + 1, 0)),
+        pl.BlockSpec((c, halo, wp), lambda i: (0, (i + 2) * q, 0)),
     ]
     out = pl.pallas_call(
         kernel,

@@ -42,10 +42,11 @@ PAD_W = 16  # column pad (>= max column reach 12, even to keep parity)
 def _kernel(x_prev, x_cur, x_next, o_ref, *, bh: int,
             r_par: tuple, b_par: tuple):
     # Halo window: the cascade's data reach is ~12 rows (+4 max shift for
-    # roll wrap), so bh + 32 rows suffice - computing on the full 3*bh
-    # concat would be 3x redundant compute.
-    x = jnp.concatenate(
-        [x_prev[bh - 16 :], x_cur[:], x_next[:16]], axis=0)
+    # roll wrap), so bh + 32 rows suffice.  x_prev/x_next are THIN 16-row
+    # halo blocks - DMA-ing full bh-row neighbor blocks (the v1 layout)
+    # tripled the input traffic of this HBM-bound kernel, and computing
+    # on a full 3*bh concat would be 3x redundant compute besides.
+    x = jnp.concatenate([x_prev[:], x_cur[:], x_next[:]], axis=0)
     n0, n1 = x.shape
 
     _shift_cache = {}
@@ -236,6 +237,8 @@ def rcd_interior(cfa, *, r_par: tuple, b_par: tuple, bh: int = 128,
         edge are valid (the caller overlays the ring / border ladder).
     """
     h, w = cfa.shape
+    if bh % 16:
+        raise ValueError(f'bh must be a multiple of 16, got {bh}')
     n_rb = -(-h // bh)
     hp = (n_rb + 2) * bh
     wp = w + 2 * PAD_W
@@ -244,11 +247,20 @@ def rcd_interior(cfa, *, r_par: tuple, b_par: tuple, bh: int = 128,
 
     kernel = functools.partial(_kernel, bh=bh, r_par=tuple(r_par),
                                b_par=tuple(b_par))
-    spec = lambda sft: pl.BlockSpec((bh, wp), lambda i, sft=sft: (i + sft, 0))
+    # Center block plus THIN 16-row halo views (the cascade's row reach),
+    # indexed in 16-row block units: prev = pixel rows [i*bh-16, i*bh),
+    # next = [(i+1)*bh, (i+1)*bh+16) (+bh top pad).  16 is even, so the
+    # kernel's local iota parities stay global.
+    q = bh // 16
+    specs = [
+        pl.BlockSpec((16, wp), lambda i: ((i + 1) * q - 1, 0)),
+        pl.BlockSpec((bh, wp), lambda i: (i + 1, 0)),
+        pl.BlockSpec((16, wp), lambda i: ((i + 2) * q, 0)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(n_rb,),
-        in_specs=[spec(0), spec(1), spec(2)],
+        in_specs=specs,
         out_specs=pl.BlockSpec((3, bh, w), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((3, n_rb * bh, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
