@@ -39,9 +39,13 @@ program (~531 s measured).  Round 4 replaced vouching with verification:
 Budget story: warm happy path (artifacts present) is one cheap rung plus
 one FULL rung, ~100-150 s total.  Worst case is bounded by
 TD_BENCH_TOTAL_BUDGET (default 540 s): cold rungs bank a line first
-(~80-200 s), and FULL is only attempted within whatever budget remains.
+(~80-200 s), and FULL - which can only execute, never compile, under its
+artifact gate - then gets everything that remains (first executions in a
+fresh process have measured 100-300 s warmup anomalies on this tunnel).
+The graded stdout line is flushed the moment FULL banks, before the
+ungraded FULLFAST extra runs.
 
-Env knobs: TD_BENCH_BATCH (default 16), TD_BENCH_ITERS (default 5),
+Env knobs: TD_BENCH_BATCH (default 16), TD_BENCH_ITERS (default 8),
 TD_BENCH_W/TD_BENCH_H (default 4096x3000), TD_BENCH_COMPILE_BUDGET (seconds,
 default 240; set 0 to run in-process with no budget/fallback - this is also
 how the round-end artifact build is done), TD_BENCH_TOTAL_BUDGET (default
@@ -195,7 +199,7 @@ def _bench_child():
     from tpu_darktable.utils import aot
 
     batch = int(os.environ.get('TD_BENCH_BATCH', '16'))
-    iters = int(os.environ.get('TD_BENCH_ITERS', '5'))
+    iters = int(os.environ.get('TD_BENCH_ITERS', '8'))
     width = int(os.environ.get('TD_BENCH_W', '4096'))
     height = int(os.environ.get('TD_BENCH_H', '3000'))
     config = _config_name_from_env()
@@ -251,8 +255,15 @@ def _bench_child():
         note('AOT-first compile (artifact reload ~1s; fresh compile can be minutes)')
         compiled, source = aot.load_or_compile(fn, args, program_identity)
     note(f'executable ready (source={source}); warmup')
-    out, b, m = compiled(*args)
-    np.asarray(m)  # fence
+    # 5 warmup executions, matching the reference harness protocol
+    # (reference scripts/run_benchmark.py:16-39: 5 warmup + timed iters).
+    # One warmup is NOT enough here: the chip clock-ramps over the first
+    # executions in a fresh process (first steady-state timing reads
+    # 15-30% high - BASELINE.md "measurement hazard"), so a single-warmup
+    # timing loop eats the ramp in its first iteration.
+    for _ in range(5):
+        out, b, m = compiled(*args)
+        np.asarray(m)  # fence
     note('warmup done, timing')
 
     t0 = time.perf_counter()
@@ -460,14 +471,20 @@ def main():
     for i, (name, timeout_s, require_aot) in enumerate(plan, 1):
         elapsed = time.monotonic() - t_start
         remaining = total_budget - elapsed
-        if best is not None and timeout_s > remaining:
-            if name == 'FULL' and remaining >= 90.0:
-                timeout_s = remaining  # shrink rather than skip the flagship
-            else:
-                print(f'[bench] skipping {name}: {elapsed:.0f}s elapsed + '
-                      f'{timeout_s:.0f}s budget exceeds total {total_budget:.0f}s',
-                      file=sys.stderr, flush=True)
-                continue
+        if name == 'FULL' and require_aot:
+            # An artifact-gated FULL never compiles (a stale artifact bails
+            # in seconds), so the budget only bounds execution.  Spend
+            # everything left: first executions in a fresh process have
+            # measured 100-300 s warmup anomalies on this tunnel (a BANK
+            # warmup once sat >139 s; FULLFAST's took 283 s after a ~1 s
+            # artifact reload), and a killed FULL costs the whole round
+            # its flagship number.
+            timeout_s = max(timeout_s, remaining)
+        elif best is not None and timeout_s > remaining:
+            print(f'[bench] skipping {name}: {elapsed:.0f}s elapsed + '
+                  f'{timeout_s:.0f}s budget exceeds total {total_budget:.0f}s',
+                  file=sys.stderr, flush=True)
+            continue
         print(f'[bench] attempt {i}/{len(plan)} {name} '
               f'{_CONFIGS[name] or "(default)"} budget {timeout_s:.0f}s',
               file=sys.stderr, flush=True)
@@ -489,10 +506,13 @@ def main():
     if best is None:
         print('[bench] all attempts failed', file=sys.stderr, flush=True)
         return 1
+    # The graded line goes out the moment it exists: anything after this
+    # point (the ungraded FULLFAST extra) must not be able to cost it.
+    print(best[1], flush=True)
     # VERDICT r3 item 6: report the denoise_overlap=2 operating point
     # alongside the flagship line.  stderr only - NEVER the graded metric.
     remaining = total_budget - (time.monotonic() - t_start)
-    if full_banked and 'FULLFAST' in artifacts and remaining >= 60.0:
+    if full_banked and 'FULLFAST' in artifacts and remaining >= 120.0:
         rc, line, wall, aot_sourced = _run_child(
             'FULLFAST', remaining, require_aot=True, identity=identity)
         if rc == 0 and line:
@@ -500,7 +520,6 @@ def main():
                           'aot' if aot_sourced else 'compiled')
             print(f'[bench] FULLFAST (ungraded ov=2 speed preset): {line}',
                   file=sys.stderr, flush=True)
-    print(best[1])
     return 0
 
 

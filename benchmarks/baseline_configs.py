@@ -156,37 +156,40 @@ def main():
         print(f'config 4 (laplacian + 3 tonemaps): {1 / dt:.2f} fps', flush=True)
 
     if 5 in wanted:
+        from tpu_darktable.pipeline.image_processor import ImageProcessor
+        from tpu_darktable.pipeline.streaming import StreamingExecutor
+
         settings = ImageProcessingSettings(
             debayer=Debayer.rcd, postprocess=True, enable_denoise=True,
             enable_bilateral=True, tone_mapping=ToneMapper.adaptive_aces,
             tone_gamma=1.5, tone_intensity=2.0, light_adapt=0.8, vibrance=0.5,
         )
-        fn = jax.jit(build_pipeline_fn(settings, (w, h), td.BayerPattern.RGGB,
-                                       td.PackedFormat.Packed12, True))
+        proc = ImageProcessor(
+            (w, h), td.BayerPattern.RGGB, td.PackedFormat.Packed12, settings,
+            white_balance=(1.2, 1.0, 1.1),
+        )
+        # The production streaming runtime: ISP batches dispatch async; in
+        # device-JPEG mode (auto on TPU) each batch's JPEG device work is
+        # dispatched before the next batch's ISP, double-buffered so only
+        # the ~2-4 MB compressed streams cross the host<->device link while
+        # the next batch computes (nvJPEG's on-stream contract,
+        # jpeg_encoder.cu:117-173).
+        ex = StreamingExecutor(proc, batch_size=2, jpeg_quality=90,
+                               keep_images=False)
         n_bytes = h * w * 3 // 2
-        chunk = 2
-        data = jnp.asarray(rng.integers(0, 256, (chunk, n_bytes), dtype=np.uint8))
-        wb = jnp.asarray([1.2, 1.0, 1.1], dtype=jnp.float32)
-        bounds = jnp.zeros(2, jnp.float32)
-        metrics5 = jnp.zeros(5, jnp.float32)
-        jpeg = td.Jpeg()
+        data = rng.integers(0, 256, n_bytes, dtype=np.uint8)
 
-        out, bb, mm = fn(data, wb, bounds, metrics5, jnp.float32(1.0))
-        # Frames stay on device: with entropy='auto' (device on TPU) only
-        # the ~2-4 MB compressed stream crosses the host<->device link,
-        # nvJPEG's contract (jpeg_encoder.cu:117-173).  On CPU backends the
-        # host path runs as before.
-        _ = jpeg.encode(out[0], quality=90)
+        # warmup batch: compiles the fused ISP + the device JPEG programs
+        ex.run([(f'warm{i}', data) for i in range(2)])
 
         n_frames = b32
+        frames = [(f'f{i}', data) for i in range(n_frames)]
         t0 = time.perf_counter()
-        done = 0
-        while done < n_frames:
-            out, bb, mm = fn(data, wb, bb, mm, jnp.float32(0.02))
-            for i in range(chunk):
-                jpeg.encode(out[i], quality=90)
-            done += chunk
+        results = ex.run(frames)
         dt = (time.perf_counter() - t0) / n_frames
+        bad = [r.name for r in results
+               if r.error is not None or not (r.jpeg or b'').startswith(b'\xff\xd8')]
+        assert not bad, f'streaming failures: {bad}'
         report['config5_full_isp_jpeg_stream'] = {'seconds_per_frame': dt, 'fps': 1.0 / dt}
         print(f'config 5 (full ISP + JPEG, {n_frames} frames streamed): {1 / dt:.2f} fps', flush=True)
 
