@@ -93,8 +93,14 @@ _ARTIFACT_GATED = ('FULL', 'FULLFAST', 'BILAT16')
 # when no measured marker exists yet.
 _COLD_WALL = {'BANK': 80.0, 'XLA16': 150.0}
 # With an artifact: deserialize ~1 s; imports + inputs + warmup + timing
-# dominate (batch-2 BANK does far less device work per run).
-_ARTIFACT_WALL = {'BANK': 45.0}
+# dominate (batch-2 BANK does far less device work per run).  Estimates
+# must absorb the ~137 s first-execution anomaly AOT-loaded processes pay
+# on this tunnel (processes that spend minutes compiling warm the device
+# during the compile and never show it; artifact loads skip straight to
+# execution and eat it in the first warmup - two rehearsals measured BANK
+# killed at 139/142 s and a FULL warmup of 137 s that its wider budget
+# absorbed).
+_ARTIFACT_WALL = {'BANK': 70.0}
 _ARTIFACT_WALL_DEFAULT = 90.0
 
 

@@ -46,8 +46,8 @@ def test_committed_cold_rung_artifacts_tighten_walls():
     plan = bench._plan({}, IDENT, {'FULL', 'BANK', 'XLA16'}, full_budget=240.0)
     assert _names(plan) == ['BANK', 'FULL', 'XLA16']
     budgets = {n: b for n, b, _ in plan}
-    assert budgets['BANK'] < 2.5 * bench._COLD_WALL['BANK']
-    assert budgets['XLA16'] < 2.5 * bench._COLD_WALL['XLA16']
+    assert budgets['BANK'] < 2.5 * bench._COLD_WALL['BANK'] + 30.0
+    assert budgets['XLA16'] < 2.5 * bench._COLD_WALL['XLA16'] + 30.0
     assert all(not gated for n, _, gated in plan if n != 'FULL')
 
 
