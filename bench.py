@@ -14,43 +14,50 @@ program (~531 s measured).  Round 4 replaced vouching with verification:
 
   * Compiled executables are serialized under our own deterministic key
     (tpu_darktable.utils.aot, jax.experimental.serialize_executable); a
-    fresh process deserializes the flagship program in ~1 s instead of
+    fresh process deserializes the flagship program in ~1-12 s instead of
     recompiling.  Artifacts committed under artifacts/aot/ ride with the
     code to fresh hosts.
   * The ladder checks the artifact FILE for the exact program identity
-    before planning a rung (not a marker's word for it), budgets each rung
-    from the last measured wall time (x2.5 + margin), and always banks the
-    cheapest available rung first so a real JSON line exists before any
-    gamble.  FULL runs IMMEDIATELY after the banking rung with
-    TD_AOT_REQUIRE=1: it either reloads its artifact in ~1 s or exits in
-    seconds (missing/stale artifact) - never an unboundable compile.  The
-    XLA-only rungs left over are post-FULL fallbacks, reached only when
-    FULL failed.
-  * Rungs without an artifact (BANK, XLA16) are XLA-only programs whose
-    cold compile fits a ladder budget; FULL/FULLFAST/BILAT16 carry Mosaic
-    kernels (531 s / 485 s measured cold in-program) and are
-    artifact-gated.  After a successful FULL, the FULLFAST rung (ov=2
-    speed preset) is also run if its artifact is present and budget
-    remains - its line goes to stderr, never the graded stdout.
+    before planning a rung (not a marker's word for it) and always banks
+    the cheapest available rung first so a real JSON line exists before
+    any gamble.  FULL runs with a load-only artifact gate: it either
+    reloads its artifact in seconds or is skipped - never an unboundable
+    compile.  Rungs without an artifact (BANK, XLA16) are XLA-only
+    programs whose cold compile fits the budget; FULL/FULLFAST/BILAT16
+    carry Mosaic kernels (531 s / 485 s measured cold in-program) and are
+    artifact-gated.
+  * ALL rungs run inside ONE child process.  The first device execution
+    in a fresh process stalls for an unbounded warmup anomaly on this
+    tunnel (measured 130-400+ s, varying by host - BASELINE.md "first-
+    execution anomaly"); per-rung child processes each paid it, and a
+    >360 s anomaly on one host blew FULL's per-rung budget even though
+    the artifact loaded in 12 s.  One process pays the anomaly exactly
+    once - during the cheap banking rung's first warmup - and every rung
+    after it runs on a warmed device at steady-state cost (~30-70 s).
+  * The child appends each banked rung to a results file, flushed per
+    line; the parent tails it while the child runs and prints the graded
+    stdout line THE MOMENT the flagship banks (a later kill - the
+    driver's or the total budget's - can no longer cost the round its
+    number).  After a successful FULL, the FULLFAST rung (ov=2 speed
+    preset) runs if its artifact is present and budget remains - its
+    line goes to stderr, never the graded stdout.
   * ``python bench.py --build-artifacts [RUNGS...]`` is the round-end
     build: compiles each rung in-process (no budget) and serializes the
     executables into the committed artifacts/aot/ dir.
 
-Budget story: warm happy path (artifacts present) is one cheap rung plus
-one FULL rung, ~100-150 s total.  Worst case is bounded by
-TD_BENCH_TOTAL_BUDGET (default 540 s): cold rungs bank a line first
-(~80-200 s), and FULL - which can only execute, never compile, under its
-artifact gate - then gets everything that remains (first executions in a
-fresh process have measured 100-300 s warmup anomalies on this tunnel).
-The graded stdout line is flushed the moment FULL banks, before the
-ungraded FULLFAST extra runs.
+Budget story: TD_BENCH_TOTAL_BUDGET (default 540 s) bounds the whole run.
+Happy path (artifacts present): imports + BANK reload + one warmup anomaly
+(130-400 s) + BANK timing + FULL reload/warmup/timing at steady cost -
+the graded line lands between ~180 s (mild anomaly) and ~520 s (worst
+measured).  Cold hosts without artifacts bank a compiled XLA-only line
+instead (~80-340 s); Mosaic configs are never compiled under a budget.
 
 Env knobs: TD_BENCH_BATCH (default 16), TD_BENCH_ITERS (default 8),
 TD_BENCH_W/TD_BENCH_H (default 4096x3000), TD_BENCH_COMPILE_BUDGET (seconds,
-default 240; set 0 to run in-process with no budget/fallback - this is also
-how the round-end artifact build is done), TD_BENCH_TOTAL_BUDGET (default
-540), TD_BENCH_FAST=1 (denoise_overlap=2 speed preset - reported as the
-FULLFAST config, never the graded FULL line).
+legacy name, default 240; set 0 to run ONE config in-process with no
+budget/fallback - this is also how the round-end artifact build is done),
+TD_BENCH_TOTAL_BUDGET (default 540), TD_BENCH_FAST=1 (denoise_overlap=2
+speed preset - reported as the FULLFAST config, never the graded FULL line).
 
 Note: on the axon TPU tunnel, block_until_ready() does not synchronize;
 completion is fenced by materializing the small metrics output of the same
@@ -62,6 +69,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 _PROC_T0 = time.time()
@@ -84,24 +92,31 @@ _CONFIGS = {
              'TD_BENCH_BATCH': '2'},
 }
 
+# Every env key any rung override touches (reset between rungs in the
+# one-process ladder child).
+_KNOB_KEYS = ('TD_RCD_PALLAS', 'TD_BILATERAL_PALLAS', 'TD_BENCH_BATCH',
+              'TD_BENCH_FAST')
+
 # Rungs whose program embeds Mosaic kernels: cold compiles measured at
 # 531 s (FULL) / 485 s (BILAT16) inside the full program - never compiled
 # under a ladder budget, only deserialized from an AOT artifact.
 _ARTIFACT_GATED = ('FULL', 'FULLFAST', 'BILAT16')
 
 # Expected wall seconds (fresh process, imports + compile/reload + timing)
-# when no measured marker exists yet.
+# when no measured marker exists yet.  Used by _plan for ORDERING (bank the
+# cheapest rung first).
 _COLD_WALL = {'BANK': 80.0, 'XLA16': 150.0}
-# With an artifact: deserialize ~1 s; imports + inputs + warmup + timing
-# dominate (batch-2 BANK does far less device work per run).  Estimates
-# must absorb the ~137 s first-execution anomaly AOT-loaded processes pay
-# on this tunnel (processes that spend minutes compiling warm the device
-# during the compile and never show it; artifact loads skip straight to
-# execution and eat it in the first warmup - two rehearsals measured BANK
-# killed at 139/142 s and a FULL warmup of 137 s that its wider budget
-# absorbed).
 _ARTIFACT_WALL = {'BANK': 70.0}
 _ARTIFACT_WALL_DEFAULT = 90.0
+
+# Steady-state rung cost estimates for the one-process child, AFTER the
+# first-execution anomaly has been paid by an earlier rung: artifact rungs
+# are deserialize (4-13 s) + 5 warmups + timed iters; compile rungs are the
+# measured in-process cold compiles (BANK 63.6 s / XLA16 307.8 s) plus
+# execution.  The child skips a rung once a line is banked if the remaining
+# global budget is below this.
+_STEADY_AOT = {'BANK': 40.0, 'XLA16': 60.0, 'FULL': 80.0, 'FULLFAST': 70.0}
+_STEADY_COMPILE = {'BANK': 110.0, 'XLA16': 350.0}
 
 
 def _identity():
@@ -194,9 +209,41 @@ def _config_name_from_env():
     return 'CUSTOM'
 
 
-def _bench_child():
+def _note(msg):
+    print(f'[bench] {time.strftime("%H:%M:%S")} +{time.time() - _PROC_T0:5.1f}s {msg}',
+          file=sys.stderr, flush=True)
+
+
+def _result_dict(fps, config, width, height):
+    mp = width * height / 1e6
+    # A non-flagship rung must not masquerade as the flagship number: the
+    # config name rides both in the metric text and as its own key.
+    if config == 'FULL':
+        tag = ''
+    elif config == 'FULLFAST':
+        tag = ' [FULLFAST speed preset, ungraded]'
+    else:
+        tag = f' [{config} fallback config]'
+    return {
+        'metric': f'{mp:.0f}MP RAW->sRGB frames/sec (fused ISP: WB+RCD+postprocess+'
+                  f'Wiener+bilateral+adaptive-ACES, single chip){tag}',
+        'value': round(fps, 2),
+        'unit': 'frames/sec',
+        # BASELINE.json target: >= 2000 fps on a v5e-8; the metric is
+        # frames/sec/CHIP, so the per-chip baseline is 2000 / 8 = 250.
+        'vs_baseline': round(fps / 250.0, 4),
+        'config': config,
+    }
+
+
+def _time_rung(config, identity, require_aot):
+    """Build/load and time one ladder config in THIS process.
+
+    Assumes the config's env overrides are already applied (the caller owns
+    env bookkeeping).  Returns (result_dict | None, source, warmup1_s):
+    result is None when require_aot found no valid artifact.
+    """
     import numpy as np
-    import jax
     import jax.numpy as jnp
 
     import tpu_darktable as td
@@ -208,37 +255,72 @@ def _bench_child():
     iters = int(os.environ.get('TD_BENCH_ITERS', '8'))
     width = int(os.environ.get('TD_BENCH_W', '4096'))
     height = int(os.environ.get('TD_BENCH_H', '3000'))
-    config = _config_name_from_env()
-    # Stash the identity for the in-process marker write: recomputing it
-    # after the run would desync marker and artifact if a source file
-    # changed while the (multi-minute) compile ran.  A ladder parent passes
-    # its own identity down so planning and loading agree on one snapshot.
-    global _CHILD_IDENTITY
-    _CHILD_IDENTITY = identity = (
-        os.environ.get('TD_BENCH_CODE_IDENTITY') or _identity())
     program_identity = _program_identity(identity, config)
 
-    def note(msg):
-        print(f'[bench] {time.strftime("%H:%M:%S")} +{time.time() - _PROC_T0:5.1f}s {msg}',
-              file=sys.stderr, flush=True)
+    _note(f'{config}: preparing (batch={batch}, {width}x{height})')
+    if require_aot:
+        _note(f'{config}: loading AOT artifact (required; no compile fallback)')
+        compiled = aot.load(program_identity)
+        if compiled is None:
+            _note(f'{config}: AOT artifact missing/stale for this identity; '
+                  'skipping (never compiling a Mosaic config under a budget)')
+            return None, 'missing', 0.0
+        source = 'aot'
+    else:
+        settings = ImageProcessingSettings(
+            debayer=Debayer.rcd,
+            postprocess=True,
+            enable_denoise=True,
+            enable_bilateral=True,
+            tone_mapping=ToneMapper.adaptive_aces,
+            tone_gamma=1.5,
+            tone_intensity=2.0,
+            light_adapt=0.8,
+            vibrance=0.5,
+        )
+        if os.environ.get('TD_BENCH_FAST') == '1':
+            settings = settings.model_copy(update={'denoise_overlap': 2})
+        fn = build_pipeline_fn(
+            settings, (width, height), td.BayerPattern.RGGB,
+            td.PackedFormat.Packed12, True,
+        )
+        _note(f'{config}: AOT-first compile (artifact reload ~1-12 s; fresh '
+              'compile can be minutes)')
+        compiled, source = aot.load_or_compile(
+            fn, _make_args(batch, width, height), program_identity)
 
-    note(f'building pipeline (config={config}, batch={batch}, {width}x{height})')
-    settings = ImageProcessingSettings(
-        debayer=Debayer.rcd,
-        postprocess=True,
-        enable_denoise=True,
-        enable_bilateral=True,
-        tone_mapping=ToneMapper.adaptive_aces,
-        tone_gamma=1.5,
-        tone_intensity=2.0,
-        light_adapt=0.8,
-        vibrance=0.5,
-    )
-    if os.environ.get('TD_BENCH_FAST') == '1':
-        settings = settings.model_copy(update={'denoise_overlap': 2})
-    fn = build_pipeline_fn(
-        settings, (width, height), td.BayerPattern.RGGB, td.PackedFormat.Packed12, True
-    )
+    args = _make_args(batch, width, height)
+    _note(f'{config}: executable ready (source={source}); warmup')
+    # 5 warmup executions, matching the reference harness protocol
+    # (reference scripts/run_benchmark.py:16-39: 5 warmup + timed iters).
+    # One warmup is NOT enough here: the chip clock-ramps over the first
+    # executions in a fresh process (first steady-state timing reads
+    # 15-30% high - BASELINE.md "measurement hazard"); and the process's
+    # very first device execution additionally pays the 130-400 s warmup
+    # anomaly, timed separately below so the ladder can log it.
+    t_w = time.perf_counter()
+    out, b, m = compiled(*args)
+    np.asarray(m)  # fence
+    warmup1 = time.perf_counter() - t_w
+    for _ in range(4):
+        out, b, m = compiled(*args)
+        np.asarray(m)  # fence
+    _note(f'{config}: warmup done (first execution {warmup1:.1f}s), timing')
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, b, m = compiled(*args)
+        np.asarray(m)  # fence: same executable, tiny transfer
+    dt = (time.perf_counter() - t0) / (iters * batch)
+    fps = 1.0 / dt
+    _note(f'{config}: done, {fps:.2f} fps')
+    del compiled, args, out, b, m
+    return _result_dict(fps, config, width, height), source, warmup1
+
+
+def _make_args(batch, width, height):
+    import numpy as np
+    import jax.numpy as jnp
 
     n_bytes = height * width * 3 // 2
     rng = np.random.default_rng(0)
@@ -247,55 +329,108 @@ def _bench_child():
     bounds = jnp.zeros(2, jnp.float32)
     metrics = jnp.zeros(5, jnp.float32)
     alpha = jnp.float32(1.0)
-    args = (data, wb, bounds, metrics, alpha)
+    return (data, wb, bounds, metrics, alpha)
 
-    if os.environ.get('TD_AOT_REQUIRE') == '1':
-        note('loading AOT artifact (required; no compile fallback)')
-        compiled = aot.load(program_identity)
-        if compiled is None:
-            note('AOT artifact missing/stale for this identity; bailing fast '
-                 'so the ladder can move on')
-            return 7
-        source = 'aot'
-    else:
-        note('AOT-first compile (artifact reload ~1s; fresh compile can be minutes)')
-        compiled, source = aot.load_or_compile(fn, args, program_identity)
-    note(f'executable ready (source={source}); warmup')
-    # 5 warmup executions, matching the reference harness protocol
-    # (reference scripts/run_benchmark.py:16-39: 5 warmup + timed iters).
-    # One warmup is NOT enough here: the chip clock-ramps over the first
-    # executions in a fresh process (first steady-state timing reads
-    # 15-30% high - BASELINE.md "measurement hazard"), so a single-warmup
-    # timing loop eats the ramp in its first iteration.
-    for _ in range(5):
-        out, b, m = compiled(*args)
-        np.asarray(m)  # fence
-    note('warmup done, timing')
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, b, m = compiled(*args)
-        np.asarray(m)  # fence: same executable, tiny transfer
-    dt = (time.perf_counter() - t0) / (iters * batch)
-
-    fps = 1.0 / dt
-    mp = width * height / 1e6
-    # A fallback rung must not masquerade as the flagship number: the
-    # config name rides both in the metric text and as its own key.
-    tag = '' if config == 'FULL' else f' [{config} fallback config]'
-    result = {
-        'metric': f'{mp:.0f}MP RAW->sRGB frames/sec (fused ISP: WB+RCD+postprocess+'
-                  f'Wiener+bilateral+adaptive-ACES, single chip){tag}',
-        'value': round(fps, 2),
-        'unit': 'frames/sec',
-        # BASELINE.json target: >= 2000 fps on a v5e-8; the metric is
-        # frames/sec/CHIP, so the per-chip baseline is 2000 / 8 = 250.
-        'vs_baseline': round(fps / 250.0, 4),
-        'config': config,
-    }
+def _bench_child():
+    """Single-config in-process run (``--child``): used by the round-end
+    artifact build and by TD_BENCH_COMPILE_BUDGET=0 manual runs.  Prints the
+    JSON line to stdout."""
+    config = _config_name_from_env()
+    # Stash the identity for the in-process marker write: recomputing it
+    # after the run would desync marker and artifact if a source file
+    # changed while the (multi-minute) compile ran.  A ladder parent passes
+    # its own identity down so planning and loading agree on one snapshot.
+    global _CHILD_IDENTITY
+    _CHILD_IDENTITY = identity = (
+        os.environ.get('TD_BENCH_CODE_IDENTITY') or _identity())
+    require_aot = os.environ.get('TD_AOT_REQUIRE') == '1'
+    result, source, _ = _time_rung(config, identity, require_aot)
+    if result is None:
+        return 7
     print(json.dumps(result))
-    note(f'done: {fps:.2f} fps ({config})')
     return 0
+
+
+def _child_skip_reason(name, banked, remaining, has_artifact):
+    """Why the one-process ladder child should skip this rung, or None.
+
+    Pure so the suite can pin it: FULLFAST only ever runs as FULL's extra;
+    once the flagship is banked nothing else is graded; and once ANY line
+    is banked a rung only runs if the remaining global budget covers its
+    steady-state estimate (the first rung always runs - there is nothing
+    to protect yet, and it is the one that eats the warmup anomaly)."""
+    if name == 'FULLFAST':
+        if 'FULL' not in banked:
+            return 'FULLFAST is the post-FULL extra; FULL is not banked'
+    elif 'FULL' in banked:
+        return 'flagship already banked'
+    if name in banked:
+        return 'already banked'
+    if banked:
+        est = (_STEADY_AOT.get(name, 80.0) if has_artifact
+               else _STEADY_COMPILE.get(name, 400.0))
+        if remaining < est:
+            return (f'{remaining:.0f}s remaining < {est:.0f}s steady-state '
+                    'estimate')
+    return None
+
+
+def _ladder_child():
+    """Run the WHOLE ladder in this one process (``--child-ladder``).
+
+    The first device execution pays the warmup anomaly exactly once (during
+    the banking rung); every later rung runs at steady-state cost.  Each
+    banked rung is appended to TD_BENCH_RESULTS (flushed per line) so a
+    parent kill can never lose a banked number; stdout stays empty (the
+    parent owns the graded line)."""
+    plan = json.loads(os.environ['TD_BENCH_PLAN'])
+    global _CHILD_IDENTITY
+    _CHILD_IDENTITY = identity = (
+        os.environ.get('TD_BENCH_CODE_IDENTITY') or _identity())
+    budget = float(os.environ.get('TD_BENCH_CHILD_BUDGET', '540'))
+    results_path = os.environ['TD_BENCH_RESULTS']
+    base_env = {k: os.environ.get(k) for k in _KNOB_KEYS}
+
+    banked = set()
+    for name, require_aot, has_artifact in plan:
+        remaining = budget - (time.time() - _PROC_T0)
+        reason = _child_skip_reason(name, banked, remaining, has_artifact)
+        if reason is not None:
+            _note(f'{name}: skipped ({reason})')
+            continue
+        # Apply this rung's env overrides from a clean base (knobs are read
+        # at trace time, so one process can build every rung's program).
+        for k in _KNOB_KEYS:
+            if base_env[k] is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = base_env[k]
+        os.environ.update(_CONFIGS[name])
+        t_rung = time.monotonic()
+        try:
+            result, source, warmup1 = _time_rung(name, identity, require_aot)
+        except Exception as e:
+            _note(f'{name}: failed ({type(e).__name__}: {e})')
+            continue
+        finally:
+            import gc
+            gc.collect()  # drop the rung's device buffers before the next
+        if result is None:
+            continue
+        banked.add(name)
+        entry = {
+            'config': name,
+            'result': result,
+            'wall_s': round(time.monotonic() - t_rung, 1),
+            'source': source,
+            'warmup1_s': round(warmup1, 1),
+        }
+        with open(results_path, 'a') as fh:
+            fh.write(json.dumps(entry) + '\n')
+            fh.flush()
+            os.fsync(fh.fileno())
+    return 0 if banked else 1
 
 
 def _plan(markers, identity, artifacts, full_budget):
@@ -305,14 +440,16 @@ def _plan(markers, identity, artifacts, full_budget):
     for the current program identity (verified by the caller, not vouched
     for by a marker).  Returns ordered [(name, budget_s, require_aot)]:
     the cheapest available rung first (bank a real line), then FULL
-    immediately (it either reloads its artifact in ~1 s or bails in
-    seconds under TD_AOT_REQUIRE=1 - never an unboundable compile), with
-    the remaining XLA-only rungs as post-FULL fallbacks.  Putting a
-    multi-minute cold compile BETWEEN the banked line and the flagship
-    would only shrink FULL's budget (r3 lesson); on success the runner
-    stops at FULL anyway.  BILAT16 shares FULL's identity scheme, so its
-    artifact can never be valid when FULL's is not - it is not planned
-    (manual TD_BILATERAL_PALLAS runs still stamp it correctly).
+    immediately (it either reloads its artifact in seconds or is skipped -
+    never an unboundable compile), with the remaining XLA-only rungs as
+    post-FULL fallbacks.  Putting a multi-minute cold compile BETWEEN the
+    banked line and the flagship would only shrink FULL's budget (r3
+    lesson); on success the runner stops grading at FULL anyway.  BILAT16
+    shares FULL's identity scheme, so its artifact can never be valid when
+    FULL's is not - it is not planned (manual TD_BILATERAL_PALLAS runs
+    still stamp it correctly).  The per-rung budgets are advisory (the
+    one-process runner enforces one global budget); they remain the
+    measured-wall record for ordering.
     """
     def wall(name):
         w, source = _marker_wall(markers, name, identity)
@@ -349,7 +486,7 @@ def _build_artifacts(names):
     """Round-end artifact build: compile the named rungs (default: every
     ladder rung) in-process children and serialize their executables into
     the repo's committed artifact dir (artifacts/aot), so a fresh driver
-    host reloads them in ~1 s instead of compiling for minutes.
+    host reloads them in seconds instead of compiling for minutes.
 
     Children run SERIALLY (the TPU device silently serializes concurrent
     processes) with the parent's identity pinned, because the rung env
@@ -407,48 +544,46 @@ def _build_artifacts(names):
     return 1 if failures else 0
 
 
-def _run_child(name, timeout_s, require_aot, identity):
-    """Run one ladder rung in a child process.  Returns (rc, json_line,
-    wall_s, aot_sourced); rc=-1 on timeout."""
-    overrides = dict(_CONFIGS[name])
-    if require_aot:
-        overrides['TD_AOT_REQUIRE'] = '1'
-    env = dict(os.environ)
-    env.update(overrides)
-    env['TD_BENCH_CODE_IDENTITY'] = identity
-    t_child = time.monotonic()
+def _read_results(path):
+    entries = []
     try:
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--child'],
-            env=env, timeout=timeout_s, capture_output=True, text=True,
-        )
-    except subprocess.TimeoutExpired as e:
-        print(f'[bench] {name} exceeded {timeout_s:.0f}s budget, killed',
-              file=sys.stderr, flush=True)
-        if e.stderr:
-            err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode(
-                'utf-8', 'replace')
-            sys.stderr.write(err)
-        return -1, None, time.monotonic() - t_child, False
-    sys.stderr.write(res.stderr)
-    line = next(
-        (ln for ln in reversed(res.stdout.splitlines())
-         if ln.startswith('{') and '"value"' in ln),
-        None,
-    )
-    return (res.returncode, line, time.monotonic() - t_child,
-            '(source=aot)' in res.stderr)
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    try:
+                        entries.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass  # partial tail line from a mid-write kill
+    except OSError:
+        pass
+    return entries
+
+
+def _graded_entry(entries):
+    """The entry whose JSON line is the graded stdout: FULL if banked,
+    else the best value among non-FULLFAST rungs (the ov=2 speed preset is
+    never the graded metric)."""
+    full = [e for e in entries if e.get('config') == 'FULL']
+    if full:
+        return full[-1]
+    rest = [e for e in entries if e.get('config') != 'FULLFAST']
+    if not rest:
+        return None
+    return max(rest, key=lambda e: e.get('result', {}).get('value', 0.0))
 
 
 def main():
     budget = float(os.environ.get('TD_BENCH_COMPILE_BUDGET', '240'))
     if '--child' in sys.argv:
         return _bench_child()
+    if '--child-ladder' in sys.argv:
+        return _ladder_child()
     if '--build-artifacts' in sys.argv:
         return _build_artifacts(sys.argv[sys.argv.index('--build-artifacts') + 1:])
     if budget <= 0:
-        # In-process run (round-end artifact build): no budget/fallback;
-        # record the measured wall for the config the env selects.
+        # In-process single-config run (round-end artifact build): no
+        # budget/fallback; record the measured wall for the env's config.
         rc = _bench_child()
         if rc == 0:
             _write_marker(_config_name_from_env(), _CHILD_IDENTITY,
@@ -460,72 +595,93 @@ def main():
     identity = _identity()
     markers = _read_markers()
     # Check every rung's artifact (not just the gated ones): XLA-only rungs
-    # also reload in ~1 s when their artifact rides with the repo, which
+    # also reload in seconds when their artifact rides with the repo, which
     # tightens their wall estimate and the banking choice.
     artifacts = {
         name for name in _CONFIGS
         if aot.find_artifact(_program_identity(identity, name)) is not None
     }
-    plan = _plan(markers, identity, artifacts, full_budget=budget)
-    print(f'[bench] artifacts present: {sorted(artifacts) or "none"}; '
-          f'plan: {[(n, int(b)) for n, b, _ in plan]}', file=sys.stderr, flush=True)
-
+    plan = [(name, gated, name in artifacts)
+            for name, _, gated in _plan(markers, identity, artifacts,
+                                        full_budget=budget)]
+    if 'FULLFAST' in artifacts:
+        plan.append(('FULLFAST', True, True))
     total_budget = float(os.environ.get('TD_BENCH_TOTAL_BUDGET', '540'))
-    t_start = time.monotonic()
-    best = None  # (value, line)
-    full_banked = False
-    for i, (name, timeout_s, require_aot) in enumerate(plan, 1):
-        elapsed = time.monotonic() - t_start
-        remaining = total_budget - elapsed
-        if name == 'FULL' and require_aot:
-            # An artifact-gated FULL never compiles (a stale artifact bails
-            # in seconds), so the budget only bounds execution.  Spend
-            # everything left: first executions in a fresh process have
-            # measured 100-300 s warmup anomalies on this tunnel (a BANK
-            # warmup once sat >139 s; FULLFAST's took 283 s after a ~1 s
-            # artifact reload), and a killed FULL costs the whole round
-            # its flagship number.
-            timeout_s = max(timeout_s, remaining)
-        elif best is not None and timeout_s > remaining:
-            print(f'[bench] skipping {name}: {elapsed:.0f}s elapsed + '
-                  f'{timeout_s:.0f}s budget exceeds total {total_budget:.0f}s',
-                  file=sys.stderr, flush=True)
-            continue
-        print(f'[bench] attempt {i}/{len(plan)} {name} '
-              f'{_CONFIGS[name] or "(default)"} budget {timeout_s:.0f}s',
-              file=sys.stderr, flush=True)
-        rc, line, wall, aot_sourced = _run_child(name, timeout_s, require_aot,
-                                                 identity)
-        if rc == 0 and line:
-            _write_marker(name, identity, wall,
-                          'aot' if aot_sourced else 'compiled')
-            value = json.loads(line).get('value', 0.0)
-            if best is None or value > best[0]:
-                best = (value, line)
-            if name == 'FULL':
-                full_banked = True
-                break  # flagship config measured; nothing better to try
-        elif rc != -1:
-            print(f'[bench] attempt {i} ({name}) failed rc={rc}',
-                  file=sys.stderr, flush=True)
+    print(f'[bench] artifacts present: {sorted(artifacts) or "none"}; '
+          f'plan: {[n for n, _, _ in plan]}; total budget {total_budget:.0f}s',
+          file=sys.stderr, flush=True)
 
-    if best is None:
-        print('[bench] all attempts failed', file=sys.stderr, flush=True)
-        return 1
-    # The graded line goes out the moment it exists: anything after this
-    # point (the ungraded FULLFAST extra) must not be able to cost it.
-    print(best[1], flush=True)
-    # VERDICT r3 item 6: report the denoise_overlap=2 operating point
-    # alongside the flagship line.  stderr only - NEVER the graded metric.
-    remaining = total_budget - (time.monotonic() - t_start)
-    if full_banked and 'FULLFAST' in artifacts and remaining >= 120.0:
-        rc, line, wall, aot_sourced = _run_child(
-            'FULLFAST', remaining, require_aot=True, identity=identity)
-        if rc == 0 and line:
-            _write_marker('FULLFAST', identity, wall,
-                          'aot' if aot_sourced else 'compiled')
-            print(f'[bench] FULLFAST (ungraded ov=2 speed preset): {line}',
-                  file=sys.stderr, flush=True)
+    results_path = f'/tmp/td_bench_results.{os.getpid()}.jsonl'
+    try:
+        os.unlink(results_path)
+    except OSError:
+        pass
+    env = dict(os.environ)
+    env['TD_BENCH_CODE_IDENTITY'] = identity
+    env['TD_BENCH_PLAN'] = json.dumps(plan)
+    env['TD_BENCH_RESULTS'] = results_path
+    env['TD_BENCH_CHILD_BUDGET'] = str(total_budget - 10.0)
+
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), '--child-ladder'],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+    )
+    # Stream the child's progress notes live (driver logs show where time
+    # went even if the run is killed externally).
+    def _pump():
+        for line in child.stderr:
+            sys.stderr.write(line)
+            sys.stderr.flush()
+    pump = threading.Thread(target=_pump, daemon=True)
+    pump.start()
+
+    # Tail the results file while the child runs: the graded line goes out
+    # THE MOMENT the flagship banks, so nothing after that point (the
+    # FULLFAST extra, a driver kill, the total budget) can cost the round
+    # its number.
+    t_start = time.monotonic()
+    graded_printed = False
+    reported = set()
+
+    def _emit(entries):
+        nonlocal graded_printed
+        for e in entries:
+            key = e.get('config')
+            if key in reported:
+                continue
+            reported.add(key)
+            _write_marker(key, identity, e.get('wall_s', 0.0),
+                          e.get('source', ''))
+            if key == 'FULLFAST':
+                print(f'[bench] FULLFAST (ungraded ov=2 speed preset): '
+                      f'{json.dumps(e["result"])}', file=sys.stderr, flush=True)
+            elif key == 'FULL' and not graded_printed:
+                print(json.dumps(e['result']), flush=True)
+                graded_printed = True
+
+    while child.poll() is None:
+        _emit(_read_results(results_path))
+        if time.monotonic() - t_start > total_budget:
+            print(f'[bench] total budget {total_budget:.0f}s exhausted; '
+                  'killing the ladder child', file=sys.stderr, flush=True)
+            child.kill()
+            break
+        time.sleep(1.0)
+    child.wait()
+    pump.join(timeout=5.0)
+    entries = _read_results(results_path)
+    _emit(entries)
+    try:
+        os.unlink(results_path)
+    except OSError:
+        pass
+
+    if not graded_printed:
+        best = _graded_entry(entries)
+        if best is None:
+            print('[bench] all attempts failed', file=sys.stderr, flush=True)
+            return 1
+        print(json.dumps(best['result']), flush=True)
     return 0
 
 

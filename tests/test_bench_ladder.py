@@ -150,3 +150,43 @@ def test_mismatched_env_is_custom_not_bank():
 def test_program_identity_distinguishes_rungs():
     ids = {bench._program_identity(IDENT, n) for n in bench._CONFIGS}
     assert len(ids) == len(bench._CONFIGS)
+
+
+def test_child_first_rung_always_runs():
+    # The banking rung runs regardless of budget: there is nothing to
+    # protect yet, and it is the rung that eats the first-execution
+    # anomaly (130-400+ s, unboundable) on behalf of the whole ladder.
+    assert bench._child_skip_reason('BANK', set(), 5.0, False) is None
+
+
+def test_child_stops_grading_after_full():
+    banked = {'BANK', 'FULL'}
+    assert bench._child_skip_reason('XLA16', banked, 1e9, True) is not None
+    # FULLFAST is the one post-FULL extra (stderr line, never graded).
+    assert bench._child_skip_reason('FULLFAST', banked, 1e9, True) is None
+
+
+def test_child_fullfast_requires_full():
+    assert bench._child_skip_reason('FULLFAST', {'BANK'}, 1e9, True) is not None
+
+
+def test_child_budget_gates_after_first_bank():
+    # Once a line is banked, a rung only runs if the remaining global
+    # budget covers its steady-state estimate; artifact rungs estimate
+    # cheaper than compile rungs.
+    banked = {'BANK'}
+    est_aot = bench._STEADY_AOT['XLA16']
+    est_compile = bench._STEADY_COMPILE['XLA16']
+    assert bench._child_skip_reason('XLA16', banked, est_aot + 1, True) is None
+    assert bench._child_skip_reason('XLA16', banked, est_aot - 1, True) is not None
+    assert bench._child_skip_reason('XLA16', banked, est_compile - 1, False) is not None
+
+
+def test_graded_entry_prefers_full_then_best_value():
+    mk = lambda cfg, fps: {'config': cfg, 'result': {'value': fps, 'config': cfg}}
+    assert bench._graded_entry([]) is None
+    entries = [mk('BANK', 12.5), mk('XLA16', 16.3), mk('FULLFAST', 26.0)]
+    # FULLFAST (ov=2 speed preset) is never the graded metric.
+    assert bench._graded_entry(entries)['config'] == 'XLA16'
+    entries.append(mk('FULL', 18.4))
+    assert bench._graded_entry(entries)['config'] == 'FULL'
