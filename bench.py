@@ -307,10 +307,19 @@ def _time_rung(config, identity, require_aot):
         np.asarray(m)  # fence
     _note(f'{config}: warmup done (first execution {warmup1:.1f}s), timing')
 
+    # Throughput protocol: dispatch ALL timed iterations back-to-back (JAX
+    # dispatch is async; the device executes them in order with no idle
+    # gaps), then fence ONCE on a reduction over every iteration's metrics
+    # output.  Fencing per iteration inserts a host<->device tunnel round
+    # trip between dispatches, idling the device each time: measured
+    # 24.2 ms/iter = 1.51 ms/frame at batch 16, FULL 18.43 -> 18.96 fps
+    # (experiments/fence_probe.py, 4 interleaved reps, stable to 0.01).
     t0 = time.perf_counter()
+    ms = []
     for _ in range(iters):
         out, b, m = compiled(*args)
-        np.asarray(m)  # fence: same executable, tiny transfer
+        ms.append(m)
+    np.asarray(jnp.stack(ms).sum(0))  # one fence over all iterations
     dt = (time.perf_counter() - t0) / (iters * batch)
     fps = 1.0 / dt
     _note(f'{config}: done, {fps:.2f} fps')
