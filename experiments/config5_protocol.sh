@@ -12,7 +12,21 @@ while [ "$i" -le "$N" ]; do
   timeout 2400 python benchmarks/baseline_configs.py --configs 5 \
     > /tmp/config5_run_$i.out 2> /tmp/config5_run_$i.err
   rc=$?
-  line=$(grep -o '"config5_full_isp_jpeg_stream": {[^}]*}' /tmp/config5_run_$i.out | tail -1)
-  echo "{\"run\": $i, \"rc\": $rc, \"result\": \"$line\"}" | tee -a "$OUT" >&2
+  # Splice the run's report in as a JSON OBJECT (ADVICE r4: quoting it as
+  # a string embedded unescaped double quotes - malformed JSONL).
+  python - "$i" "$rc" /tmp/config5_run_$i.out >> "$OUT" <<'EOF'
+import json, sys
+run, rc, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+result = None
+try:
+    for line in open(path):
+        line = line.strip()
+        if line.startswith('{'):
+            result = json.loads(line).get('config5_full_isp_jpeg_stream')
+except (OSError, json.JSONDecodeError):
+    pass
+print(json.dumps({'run': run, 'rc': rc, 'result': result}))
+EOF
+  tail -1 "$OUT" >&2
   i=$((i + 1))
 done

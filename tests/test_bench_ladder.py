@@ -32,11 +32,58 @@ def test_artifact_full_runs_right_after_banking_rung():
     assert plan[0][2] is False and plan[2][2] is False
 
 
-def test_measured_fast_full_runs_first():
-    # A measured sub-BANK wall for FULL makes it the banking rung itself.
+def test_full_never_banks_first_even_with_cheap_marker():
+    # FLIPPED from round 4's test_measured_fast_full_runs_first, which
+    # pinned the fatal behavior: a post-anomaly FULL marker (its wall
+    # excludes the 49-527 s first-execution anomaly because an earlier rung
+    # paid it) must NOT promote FULL to the banking slot - BENCH_r04 died
+    # exactly there (FULL first, 527 s anomaly, killed 3-10 s short of
+    # banking, zero lines).  The banking rung is always a cheap XLA-only
+    # rung, regardless of what any marker claims.
     markers = {'FULL': {'identity': IDENT, 'wall_s': 45.0, 'source': 'aot'}}
     plan = bench._plan(markers, IDENT, {'FULL'}, full_budget=240.0)
-    assert _names(plan) == ['FULL', 'BANK', 'XLA16']
+    assert _names(plan)[0] != 'FULL'
+    assert _names(plan) == ['BANK', 'FULL', 'XLA16']
+
+
+def test_r4_poisoned_marker_file_plans_bank_first():
+    # The EXACT marker state that produced the BENCH_r04 zero (live in
+    # ~/.cache/tpu_darktable/bench_warm.json after the r4 rehearsal): BANK
+    # ran first so its wall INCLUDES the warmup anomaly (61.2 s), FULL ran
+    # after so its wall excludes it (31.6 s).  r4's _plan scored FULL
+    # cheaper and banked on it.  The fixed plan must order BANK first.
+    markers = {
+        'BANK': {'identity': IDENT, 'wall_s': 61.2, 'source': 'aot'},
+        'FULL': {'identity': IDENT, 'wall_s': 31.6, 'source': 'aot'},
+        'FULLFAST': {'identity': IDENT, 'wall_s': 25.3, 'source': 'aot'},
+    }
+    plan = bench._plan(markers, IDENT, {'FULL', 'FULLFAST', 'BANK', 'XLA16'},
+                       full_budget=240.0)
+    assert _names(plan) == ['BANK', 'FULL', 'XLA16']
+
+
+def test_ordering_uses_anomaly_exclusive_steady_wall():
+    # warmup1_s (anomaly + first execution) is persisted per marker; the
+    # banking choice between the cheap rungs compares wall - warmup1.  Here
+    # BANK's raw wall (61.2) exceeds XLA16's (40.0), but BANK paid a 49 s
+    # anomaly: steady 12.2 vs 38.0 - BANK banks.
+    markers = {
+        'BANK': {'identity': IDENT, 'wall_s': 61.2, 'warmup1_s': 49.0,
+                 'source': 'aot'},
+        'XLA16': {'identity': IDENT, 'wall_s': 40.0, 'warmup1_s': 2.0,
+                  'source': 'aot'},
+    }
+    plan = bench._plan(markers, IDENT, {'BANK', 'XLA16'}, full_budget=240.0)
+    assert _names(plan)[0] == 'BANK'
+    # And the reverse: XLA16 paid the anomaly, BANK ran warm.
+    markers = {
+        'BANK': {'identity': IDENT, 'wall_s': 40.0, 'warmup1_s': 2.0,
+                 'source': 'aot'},
+        'XLA16': {'identity': IDENT, 'wall_s': 61.2, 'warmup1_s': 49.0,
+                  'source': 'aot'},
+    }
+    plan = bench._plan(markers, IDENT, {'BANK', 'XLA16'}, full_budget=240.0)
+    assert _names(plan)[0] == 'XLA16'
 
 
 def test_committed_cold_rung_artifacts_tighten_walls():
@@ -87,18 +134,28 @@ def test_budgets_scale_from_measured_walls():
     assert budgets['FULL'] == 240.0
 
 
-def test_bilat16_never_planned():
-    # BILAT16 shares FULL's identity scheme: its artifact can never be
-    # valid when FULL's is not, so it has no ladder role (VERDICT r3 weak
-    # #4) - manual TD_BILATERAL_PALLAS runs still stamp the name.
-    for artifacts in ({'FULL', 'BILAT16'}, {'BILAT16'}):
-        plan = bench._plan({}, IDENT, artifacts, full_budget=240.0)
-        assert 'BILAT16' not in _names(plan)
+def test_bilat16_deleted():
+    # BILAT16 was never reachable by the ladder (its artifact shares FULL's
+    # identity scheme); VERDICT r4 weak #6: delete rather than keep a
+    # zombie config.  A hand-rolled env matching its old knobs stamps
+    # CUSTOM, never a ladder name.
+    import os
+    assert 'BILAT16' not in bench._CONFIGS
+    assert 'BILAT16' not in bench._ARTIFACT_GATED
+    saved = {k: os.environ.pop(k, None) for k in bench._KNOB_KEYS}
+    try:
+        os.environ['TD_RCD_PALLAS'] = '0'
+        assert bench._config_name_from_env() == 'CUSTOM'
+    finally:
+        for k in bench._KNOB_KEYS:
+            os.environ.pop(k, None)
+            if saved[k] is not None:
+                os.environ[k] = saved[k]
 
 
 def test_full_follows_banking_rung_when_present():
     for markers in ({}, {'BANK': {'identity': IDENT, 'wall_s': 15.0}}):
-        plan = bench._plan(markers, IDENT, {'FULL', 'BILAT16'}, full_budget=240.0)
+        plan = bench._plan(markers, IDENT, {'FULL'}, full_budget=240.0)
         assert _names(plan)[1] == 'FULL'
 
 
@@ -180,6 +237,59 @@ def test_child_budget_gates_after_first_bank():
     assert bench._child_skip_reason('XLA16', banked, est_aot + 1, True) is None
     assert bench._child_skip_reason('XLA16', banked, est_aot - 1, True) is not None
     assert bench._child_skip_reason('XLA16', banked, est_compile - 1, False) is not None
+
+
+def test_child_budget_gates_after_failed_attempt():
+    # ADVICE r4: a FAILED first rung (nothing banked) must not hand the
+    # next rung - potentially a 350 s XLA16 cold compile - an unchecked
+    # budget.  Once any rung has been attempted, the steady-state gate
+    # applies even with nothing banked.
+    est = bench._STEADY_COMPILE['XLA16']
+    assert bench._child_skip_reason('XLA16', set(), est - 1, False,
+                                    attempted=1) is not None
+    assert bench._child_skip_reason('XLA16', set(), est + 1, False,
+                                    attempted=1) is None
+
+
+def test_parent_note_parsing():
+    # The grace window and the early fallback key off the child's streamed
+    # notes; pin the regexes against the exact _note formats.
+    line = '[bench] 01:02:03 +536.6s FULL: warmup done (first execution 527.2s), timing'
+    m = bench._TIMING_RE.search(line)
+    assert m and m.group(1) == 'FULL'
+    done = '[bench] 01:02:13 +546.6s FULL: done, 18.42 fps'
+    m = bench._SETTLED_RE.search(done)
+    assert m and m.group(1) == 'FULL'
+    failed = '[bench] 01:02:13 +546.6s FULL: failed (RuntimeError: boom)'
+    m = bench._SETTLED_RE.search(failed)
+    assert m and m.group(1) == 'FULL'
+    assert bench._FULL_DEAD_RE.search(failed)
+    missing = ('[bench] 01:00:03 +36.6s FULL: AOT artifact missing/stale for '
+               'this identity; skipping (never compiling a Mosaic config '
+               'under a budget)')
+    assert bench._FULL_DEAD_RE.search(missing)
+    skipped = '[bench] 01:00:03 +36.6s FULL: skipped (40s remaining < 80s steady-state estimate)'
+    assert bench._FULL_DEAD_RE.search(skipped)
+    # BANK lines must not mark FULL dead.
+    bank_fail = '[bench] 01:00:03 +36.6s BANK: failed (RuntimeError: boom)'
+    assert not bench._FULL_DEAD_RE.search(bank_fail)
+    # Prewarm notes drive the anomaly-in-flight grace branch.
+    pre = '[bench] 01:00:10 +7.3s prewarm: first device execution fenced in 7.3s'
+    assert bench._PREWARM_RE.search(pre)
+    pre_fail = '[bench] 01:00:10 +7.3s prewarm failed (RuntimeError: boom)'
+    assert bench._PREWARM_RE.search(pre_fail)
+    assert not bench._PREWARM_RE.search(bank_fail)
+
+
+def test_marker_roundtrip_persists_warmup1(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, '_MARKER_PATH',
+                        str(tmp_path / 'bench_warm.json'))
+    bench._write_marker('BANK', IDENT, 61.2, source='aot', warmup1_s=49.0)
+    bench._write_marker('XLA16', IDENT, 40.0, source='aot')  # legacy shape
+    markers = bench._read_markers()
+    assert bench._marker_wall(markers, 'BANK', IDENT) == (61.2, 49.0, 'aot')
+    w, w1, src = bench._marker_wall(markers, 'XLA16', IDENT)
+    assert (w, src) == (40.0, 'aot') and w1 is None
 
 
 def test_graded_entry_prefers_full_then_best_value():

@@ -117,55 +117,27 @@ class StreamingExecutor:
         batch_bytes: list = []
         inflight: list[tuple[list[str], object]] = []
 
-        def _host_transform(img, name):
-            """Orientation transform on host (numpy) - no device round trip."""
+        def _resolve_transform(name):
             from .transform import ImageTransform
 
             tf = self.processor.transforms
             if isinstance(tf, dict):
                 tf = tf.get(name, ImageTransform.none)
-            match tf:
-                case ImageTransform.none:
-                    return img
-                case ImageTransform.rotate_90:
-                    return np.rot90(img, 1)
-                case ImageTransform.rotate_180:
-                    return np.rot90(img, 2)
-                case ImageTransform.rotate_270:
-                    return np.rot90(img, 3)
-                case ImageTransform.flip_horiz:
-                    return img[:, ::-1]
-                case ImageTransform.flip_vert:
-                    return img[::-1]
-                case ImageTransform.transverse:
-                    return img[::-1, ::-1]
-                case ImageTransform.transpose:
-                    return np.swapaxes(img, 0, 1)
+            return tf
+
+        def _host_transform(img, name):
+            """Orientation transform on host (numpy) - no device round trip.
+            Same dispatch table as the device path (transform.transform);
+            only the array module differs."""
+            from .transform import transform
+
+            return transform(img, _resolve_transform(name), xp=np)
 
         def _device_transform(img, name):
-            """Orientation transform on device (mirrors _host_transform)."""
-            from .transform import ImageTransform
+            """Orientation transform on device (jnp arrays in, jnp out)."""
+            from .transform import transform
 
-            tf = self.processor.transforms
-            if isinstance(tf, dict):
-                tf = tf.get(name, ImageTransform.none)
-            match tf:
-                case ImageTransform.none:
-                    return img
-                case ImageTransform.rotate_90:
-                    return jnp.rot90(img, 1)
-                case ImageTransform.rotate_180:
-                    return jnp.rot90(img, 2)
-                case ImageTransform.rotate_270:
-                    return jnp.rot90(img, 3)
-                case ImageTransform.flip_horiz:
-                    return img[:, ::-1]
-                case ImageTransform.flip_vert:
-                    return img[::-1]
-                case ImageTransform.transverse:
-                    return img[::-1, ::-1]
-                case ImageTransform.transpose:
-                    return jnp.swapaxes(img, 0, 1)
+            return transform(img, _resolve_transform(name))
 
         def _dispatch_device_jpeg(names, out_dev):
             """Enqueue all of this batch's device work (transform + DCT +
