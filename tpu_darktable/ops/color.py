@@ -215,15 +215,48 @@ def modify_hsl(rgb, hue_adjust: float = 0.0, sat_adjust: float = 0.0, lum_adjust
     return _clip01(hsl_to_rgb(new_hsl))
 
 
+# White-folded LAB matrices for the vibrance fast path: rgb_lin -> xyz/white
+# and lab_f_inv -> rgb_lin in one 3x3 each (the D65 normalization is a
+# per-row/column constant scale).
+_RGB_TO_XYZ_D65N = _RGB_TO_XYZ / _D65_WHITE[:, None]
+_XYZ_TO_RGB_D65N = _XYZ_TO_RGB * _D65_WHITE[None, :]
+
+
 def modify_vibrance(rgb, amount: float = 0.0):
     """darktable vibrance: LAB chroma-weighted saturation boost with slight
-    lightness cut (device_color_conversions.h:199-213)."""
-    lab = rgb_to_lab(rgb)
-    chroma = jnp.sqrt(lab[..., 1] ** 2 + lab[..., 2] ** 2)
+    lightness cut (device_color_conversions.h:199-213).
+
+    Computed in `_lab_f` space: L/a/b are affine in (fx, fy, fz), so the
+    chroma-dependent scales apply directly to the f values -
+    fy' = ls*fy + (16/116)(1-ls), fx' = ss*(fx-fy) + fy', fz' = fy' -
+    ss*(fy-fz) - and the D65 white point folds into the two 3x3 matrices.
+    This removes the L/a/b normalization round trip between the cbrt and
+    cube stages; measured 7.06 -> 6.16 ms/frame on the full adaptive-ACES
+    tail at 12MP (experiments/tail_vibrance_probe.py).  vs the
+    literal-LAB formulation the result differs only by float rounding
+    (measured <= 2e-5 max, <= 1 uint8 count; the divergence is rounding
+    amplified by the pow(1/2.4) encode near zero, which bounds ANY
+    arithmetic rearrangement away from bitwise) - far inside the 1e-3
+    reference-parity budget, goldens green at their +/-1-count bar.
+    """
+    rgb = jnp.asarray(rgb)
+    lin = srgb_to_linear(rgb)
+    n = color_transform_3x3(lin, _RGB_TO_XYZ_D65N)
+    fx = _lab_f(n[..., 0])
+    fy = _lab_f(n[..., 1])
+    fz = _lab_f(n[..., 2])
+    # normalized a = 500(fx-fy)/128, b = 200(fy-fz)/128 (xyz_to_lab scales)
+    a = (500.0 / 128.0) * (fx - fy)
+    b = (200.0 / 128.0) * (fy - fz)
+    chroma = jnp.sqrt(a * a + b * b)
     ls = 1.0 - amount * chroma * 0.25
     ss = 1.0 + amount * chroma
-    new_lab = jnp.stack((lab[..., 0] * ls, lab[..., 1] * ss, lab[..., 2] * ss), axis=-1)
-    return _clip01(lab_to_rgb(new_lab))
+    fy2 = ls * fy + (16.0 / 116.0) * (1.0 - ls)
+    fx2 = ss * (fx - fy) + fy2
+    fz2 = fy2 - ss * (fy - fz)
+    f_inv = jnp.stack(
+        (_lab_f_inv(fx2), _lab_f_inv(fy2), _lab_f_inv(fz2)), axis=-1)
+    return _clip01(linear_to_srgb(color_transform_3x3(f_inv, _XYZ_TO_RGB_D65N)))
 
 
 def rgb_to_lab_l(rgb):
