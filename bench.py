@@ -52,26 +52,32 @@ program (~531 s measured).  Round 4 replaced vouching with verification:
     number).  After a successful FULL, the FULLFAST rung (ov=2 speed
     preset) runs if its artifact is present and budget remains - its
     line goes to stderr, never the graded stdout.
-  * Grace window (round 5; BENCH_r04 died 3-10 s short): when the total
-    budget expires while the child's streamed notes show a rung past
-    "warmup done" (timing loop in flight, seconds from banking), the
-    parent waits up to TD_BENCH_GRACE (default 60 s) before killing.
-    And whenever FULL can no longer bank (its artifact missing, its run
-    failed, or the kill is imminent), the best already-banked fallback
-    line is printed IMMEDIATELY - an external kill of the parent after
-    that point finds a real JSON line on stdout.
+  * Budget expiry policy (round 5; BENCH_r04 died 3-10 s short, and a
+    cold tunnel measured 779-1040 s anomalies - past ANY self-budget):
+    with NOTHING banked the parent never self-kills (a kill guarantees a
+    zero; rc=124-with-no-line equals rc=1-with-no-line, so waiting for
+    the external timeout risks nothing).  With a fallback banked it
+    grants one TD_BENCH_GRACE (60 s) when a rung is mid-timing, and one
+    TD_BENCH_FULL_WINDOW (150 s) when the flagship can still bank from
+    its artifact; then it prints the best banked line and kills.  The
+    child likewise credits the measured prewarm anomaly wall against its
+    budget (the budget bounds our work, not the tunnel's one-off stall).
+    Whenever FULL can no longer bank (artifact missing, run failed, kill
+    imminent), the best already-banked fallback line is printed
+    IMMEDIATELY, and a SIGTERM/SIGINT handler prints it before dying -
+    an external kill of the parent finds a real JSON line on stdout.
   * ``python bench.py --build-artifacts [RUNGS...]`` is the round-end
     build: compiles each rung in-process (no budget) and serializes the
     executables into the committed artifacts/aot/ dir.
 
-Budget story: TD_BENCH_TOTAL_BUDGET (default 540 s) bounds the whole run,
-plus TD_BENCH_GRACE (default 60 s) when a rung is mid-timing at expiry.
-The first-execution anomaly measured 49-527 s across tunnel sessions
-(BENCH_r04's fatal draw was 527 s); it overlaps setup via the prewarm
-dispatch, so the serial path is max(anomaly, setup) + BANK timing + FULL
-reload/warmup/timing at steady cost (~40-80 s).  The worst measured
-anomaly leaves FULL inside budget+grace; anything beyond still banks the
-BANK line the moment it lands.  Cold hosts without artifacts bank a
+Budget story: TD_BENCH_TOTAL_BUDGET (default 540 s) bounds the ladder's
+OWN work (anomaly-exclusive); the first-execution anomaly measured
+7-1040 s across tunnel sessions (BENCH_r04's fatal draw was 527 s;
+round 5 measured 779/1040 s on a cold tunnel) and is excluded on both
+sides: the child credits its measured prewarm wall, the parent waits
+past expiry while nothing is banked.  The serial path after the anomaly
+is setup + BANK timing + FULL reload/warmup/timing at steady cost
+(~40-80 s), far inside budget.  Cold hosts without artifacts bank a
 compiled XLA-only line instead (~80-340 s); Mosaic configs are never
 compiled under a budget.
 
@@ -435,6 +441,9 @@ def _child_skip_reason(name, banked, remaining, has_artifact, attempted=0):
     return None
 
 
+_PREWARM_WALL = None  # seconds to the prewarm fence, once it lands
+
+
 def _prewarm_device():
     """Pay the first-execution anomaly concurrently with host-side setup.
 
@@ -444,17 +453,38 @@ def _prewarm_device():
     first action starts the device-side stall immediately; imports,
     artifact deserialization, and input transfers then overlap it instead
     of serializing behind it inside the banking rung's first warmup.  Runs
-    on a daemon thread; the fence blocks the thread, never the ladder."""
+    on a daemon thread; the fence blocks the thread, never the ladder.
+
+    The fence wall is recorded in _PREWARM_WALL: it measures the anomaly
+    itself, which the child CREDITS against its budget (the budget bounds
+    OUR work, not the tunnel's unboundable one-off stall - round 5
+    measured 779-1040 s anomalies on a cold tunnel, past any budget)."""
+    global _PREWARM_WALL
     t0 = time.perf_counter()
     try:
         import numpy as np
         import jax.numpy as jnp
 
         np.asarray(jnp.zeros((8, 128), jnp.float32).sum())
+        _PREWARM_WALL = time.perf_counter() - t0
         _note(f'prewarm: first device execution fenced in '
-              f'{time.perf_counter() - t0:.1f}s')
+              f'{_PREWARM_WALL:.1f}s')
     except Exception as e:
         _note(f'prewarm failed ({type(e).__name__}: {e})')
+
+
+def _remaining_budget(budget, elapsed, prewarm_wall):
+    """Child budget remaining, crediting the first-execution anomaly.
+
+    The anomaly (measured 7-1040 s across sessions; device/tunnel-side,
+    host CPU frozen throughout) is a per-process constant the child cannot
+    influence, so it does not count against the budget: remaining =
+    budget - (elapsed - anomaly).  While the prewarm fence has not landed
+    yet, EVERYTHING so far is anomaly-overlapped setup, so the full budget
+    remains.  Pure for the suite."""
+    if prewarm_wall is None:
+        return budget
+    return budget - (elapsed - min(prewarm_wall, elapsed))
 
 
 def _ladder_child():
@@ -479,7 +509,8 @@ def _ladder_child():
     banked = set()
     attempted = 0
     for name, require_aot, has_artifact in plan:
-        remaining = budget - (time.time() - _PROC_T0)
+        remaining = _remaining_budget(budget, time.time() - _PROC_T0,
+                                      _PREWARM_WALL)
         reason = _child_skip_reason(name, banked, remaining, has_artifact,
                                     attempted)
         if reason is not None:
@@ -643,6 +674,37 @@ def _build_artifacts(names):
     return 1 if failures else 0
 
 
+def _expiry_action(banked_any, timing, prewarm_done, full_dead,
+                   full_possible, grace_used, full_window_used):
+    """What the parent does when its total budget expires.  Pure for the
+    suite.  Returns (action, reason):
+
+      'wait'        - nothing is banked: a kill GUARANTEES a zero while
+                      waiting risks nothing (the external driver timeout
+                      is the real bound, and rc=124-with-no-line equals
+                      rc=1-with-no-line).  Round 5 measured 779-1040 s
+                      first-execution anomalies - past any self-budget.
+      'grace'       - a rung is mid-timing (past "warmup done", seconds
+                      from banking): wait TD_BENCH_GRACE once.  BENCH_r04
+                      died 3-10 s short of exactly this.
+      'full_window' - a fallback is banked but the flagship can still
+                      bank (artifact present, not failed): grant its
+                      steady-state window once.  Four rounds have graded
+                      a fallback or nothing; ~2 min buys the FULL line.
+      'kill'        - print the best banked line and stop.
+    """
+    if not banked_any:
+        why = ('the first-execution anomaly has not finished'
+               if not prewarm_done else 'no rung has banked yet')
+        return 'wait', f'{why}; a kill now guarantees zero lines'
+    if timing is not None and not grace_used:
+        return 'grace', f'{timing} is past warmup (timing in flight)'
+    if full_possible and not full_dead and not full_window_used:
+        return 'full_window', ('a fallback is banked and FULL can still '
+                               'bank from its artifact')
+    return 'kill', 'budget exhausted'
+
+
 def _read_results(path):
     entries = []
     try:
@@ -790,9 +852,30 @@ def main():
             print(json.dumps(best['result']), flush=True)
             graded_printed = True
 
+    # An external TERM/INT (the driver's `timeout`) must not lose an
+    # already-banked number: print the best banked line before dying.
+    # BENCH_r02 was rc=124 with an empty stdout; a graded line on stdout
+    # costs nothing even when the rc is a timeout's.
+    import signal
+
+    def _on_term(signum, frame):
+        _emit(_read_results(results_path))
+        _emit_fallback(f'terminated externally (signal {signum})')
+        try:
+            child.kill()
+        except Exception:
+            pass
+        sys.exit(0 if graded_printed else 1)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, _on_term)
+
     grace = float(os.environ.get('TD_BENCH_GRACE', '60'))
+    full_window = float(os.environ.get('TD_BENCH_FULL_WINDOW', '150'))
     deadline = t_start + total_budget
     grace_used = False
+    full_window_used = False
+    last_overtime_note = 0.0
     while child.poll() is None:
         _emit(_read_results(results_path))
         now = time.monotonic()
@@ -804,23 +887,36 @@ def main():
                 and now > deadline - 120.0):
             _emit_fallback('FULL can no longer bank this run')
         if now > deadline:
-            rung = child_state['timing']
-            # Grace is warranted when the child is demonstrably close to
-            # banking (a rung past "warmup done": timing loop in flight -
-            # BENCH_r04's kill landed 3-10 s short of exactly that) OR when
-            # the first-execution anomaly has not even finished (prewarm
-            # unfenced: NO rung could have banked yet, so the grace window
-            # is the run's only chance at any line - anomaly measured up to
-            # ~745 s on a contended session, vs the 540 s budget).
-            if (rung is not None or not child_state['prewarm_done']) \
-                    and not grace_used:
+            full_possible = ('FULL' in artifacts and 'FULL' not in reported
+                             and not graded_printed)
+            action, why = _expiry_action(
+                banked_any=bool(reported - {'FULLFAST'}) or graded_printed,
+                timing=child_state['timing'],
+                prewarm_done=child_state['prewarm_done'],
+                full_dead=child_state['full_dead'],
+                full_possible=full_possible,
+                grace_used=grace_used, full_window_used=full_window_used,
+            )
+            if action == 'wait':
+                # Never self-kill with nothing banked; re-check each minute.
+                deadline = now + 60.0
+                if now - last_overtime_note > 55.0:
+                    last_overtime_note = now
+                    print(f'[bench] budget overtime '
+                          f'(+{now - t_start - total_budget:.0f}s): {why}',
+                          file=sys.stderr, flush=True)
+                continue
+            if action == 'grace':
                 grace_used = True
                 deadline = now + grace
-                why = (f'{rung} is past warmup (timing in flight)'
-                       if rung is not None else
-                       'the first-execution anomaly has not finished')
-                print(f'[bench] total budget {total_budget:.0f}s exhausted '
-                      f'but {why}; granting {grace:.0f}s grace',
+                print(f'[bench] total budget exhausted but {why}; granting '
+                      f'{grace:.0f}s grace', file=sys.stderr, flush=True)
+                continue
+            if action == 'full_window':
+                full_window_used = True
+                deadline = now + full_window
+                print(f'[bench] total budget exhausted but {why}; granting '
+                      f'{full_window:.0f}s for the flagship',
                       file=sys.stderr, flush=True)
                 continue
             _emit(_read_results(results_path))

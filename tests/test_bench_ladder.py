@@ -281,6 +281,69 @@ def test_parent_note_parsing():
     assert not bench._PREWARM_RE.search(bank_fail)
 
 
+def test_child_budget_credits_anomaly():
+    # Round 5: a cold tunnel measured 779-1040 s first-execution anomalies
+    # - past any self-budget.  The child's budget bounds its OWN work, so
+    # the measured prewarm (anomaly) wall is credited back: after a
+    # 900 s anomaly and 60 s of real work, a 540 s budget has 480 s left.
+    assert bench._remaining_budget(540.0, 960.0, 900.0) == 480.0
+    # Prewarm not fenced yet: everything so far is anomaly-overlapped
+    # setup; the full budget remains.
+    assert bench._remaining_budget(540.0, 700.0, None) == 540.0
+    # No anomaly to speak of: plain countdown.
+    assert bench._remaining_budget(540.0, 100.0, 5.0) == 445.0
+    # Credit never exceeds elapsed (a prewarm wall from a contended clock
+    # must not mint budget).
+    assert bench._remaining_budget(540.0, 50.0, 900.0) == 540.0
+
+
+def test_expiry_never_kills_with_nothing_banked():
+    # A self-kill with zero banked lines GUARANTEES the round a zero
+    # (BENCH_r04); waiting risks nothing since the external timeout is the
+    # real bound.  'wait' regardless of grace/window state.
+    for prewarm_done in (False, True):
+        action, _ = bench._expiry_action(
+            banked_any=False, timing=None, prewarm_done=prewarm_done,
+            full_dead=False, full_possible=True,
+            grace_used=True, full_window_used=True)
+        assert action == 'wait'
+
+
+def test_expiry_grace_for_rung_mid_timing():
+    action, _ = bench._expiry_action(
+        banked_any=True, timing='FULL', prewarm_done=True, full_dead=False,
+        full_possible=True, grace_used=False, full_window_used=False)
+    assert action == 'grace'
+    # Grace is one-shot; with it spent and FULL still live, the flagship
+    # window applies next.
+    action, _ = bench._expiry_action(
+        banked_any=True, timing='FULL', prewarm_done=True, full_dead=False,
+        full_possible=True, grace_used=True, full_window_used=False)
+    assert action == 'full_window'
+
+
+def test_expiry_full_window_then_kill():
+    # Fallback banked, FULL live: grant its steady window once...
+    action, _ = bench._expiry_action(
+        banked_any=True, timing=None, prewarm_done=True, full_dead=False,
+        full_possible=True, grace_used=False, full_window_used=False)
+    assert action == 'full_window'
+    # ...then kill (printing the banked fallback).
+    action, _ = bench._expiry_action(
+        banked_any=True, timing=None, prewarm_done=True, full_dead=False,
+        full_possible=True, grace_used=False, full_window_used=True)
+    assert action == 'kill'
+
+
+def test_expiry_kills_when_full_dead():
+    # FULL can never bank (artifact missing / run failed): no window, print
+    # the fallback and stop.
+    action, _ = bench._expiry_action(
+        banked_any=True, timing=None, prewarm_done=True, full_dead=True,
+        full_possible=False, grace_used=False, full_window_used=False)
+    assert action == 'kill'
+
+
 def test_marker_roundtrip_persists_warmup1(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, '_MARKER_PATH',
                         str(tmp_path / 'bench_warm.json'))
