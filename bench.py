@@ -424,7 +424,14 @@ def _child_skip_reason(name, banked, remaining, has_artifact, attempted=0):
     runs if the remaining global budget covers its steady-state estimate.
     The very first rung always runs - there is nothing to protect yet, and
     the prewarm dispatch (not any particular rung) eats the warmup anomaly
-    on behalf of the whole ladder."""
+    on behalf of the whole ladder.  And the flagship is NEVER budget-
+    skipped while its artifact exists: a FULL-from-artifact attempt is
+    bounded (~40-80 s load+warmup+timing), any banked fallback is already
+    flush-protected against a kill, and the parent grants it a window past
+    expiry - a child-side skip would just forfeit the graded line the
+    parent is explicitly waiting for (found by the round-5 tiny-budget
+    overtime exercise: parent granted the FULL window, child had already
+    skipped on '-10s remaining')."""
     if name == 'FULLFAST':
         if 'FULL' not in banked:
             return 'FULLFAST is the post-FULL extra; FULL is not banked'
@@ -432,6 +439,8 @@ def _child_skip_reason(name, banked, remaining, has_artifact, attempted=0):
         return 'flagship already banked'
     if name in banked:
         return 'already banked'
+    if name == 'FULL' and has_artifact:
+        return None
     if banked or attempted:
         est = (_STEADY_AOT.get(name, 80.0) if has_artifact
                else _STEADY_COMPILE.get(name, 400.0))

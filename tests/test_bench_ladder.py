@@ -239,6 +239,22 @@ def test_child_budget_gates_after_first_bank():
     assert bench._child_skip_reason('XLA16', banked, est_compile - 1, False) is not None
 
 
+def test_child_never_budget_skips_full_with_artifact():
+    # Round-5 tiny-budget overtime exercise: the parent granted the FULL
+    # window but the child had already skipped FULL on '-10s remaining'.
+    # A FULL-from-artifact attempt is bounded and any banked fallback is
+    # flush-protected, so the flagship never budget-skips while its
+    # artifact exists - even deep in the negative.
+    assert bench._child_skip_reason('FULL', {'BANK'}, -100.0, True,
+                                    attempted=1) is None
+    # Without an artifact the gate still protects against an unbounded
+    # Mosaic compile.
+    assert bench._child_skip_reason('FULL', {'BANK'}, -100.0, False,
+                                    attempted=1) is not None
+    # Already-banked still skips.
+    assert bench._child_skip_reason('FULL', {'FULL'}, 1e9, True) is not None
+
+
 def test_child_budget_gates_after_failed_attempt():
     # ADVICE r4: a FAILED first rung (nothing banked) must not hand the
     # next rung - potentially a 350 s XLA16 cold compile - an unchecked
