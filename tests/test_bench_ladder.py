@@ -371,6 +371,51 @@ def test_marker_roundtrip_persists_warmup1(tmp_path, monkeypatch):
     assert (w, src) == (40.0, 'aot') and w1 is None
 
 
+def test_ladder_child_end_to_end_cpu(tmp_path):
+    # The whole --child-ladder path in a real subprocess on the CPU backend
+    # (tiny shapes): env plumbing, rung compile, banking, the flushed
+    # results file, and the marker fields the parent relies on.  Forced to
+    # CPU via jax.config BEFORE backend init (the env var alone loses to
+    # the TPU plugin on this host) so the test can NEVER contend for the
+    # real device.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    results = tmp_path / 'results.jsonl'
+    env = dict(os.environ)
+    env.update({
+        'TD_BENCH_W': '256', 'TD_BENCH_H': '192', 'TD_BENCH_ITERS': '2',
+        'TD_BENCH_PLAN': json.dumps([['BANK', False, False]]),
+        'TD_BENCH_RESULTS': str(results),
+        'TD_BENCH_CHILD_BUDGET': '600',
+        'TD_BENCH_CODE_IDENTITY': 'ladder-e2e-test',
+        'TD_AOT_DIR': str(tmp_path / 'aot'),  # sandbox any artifact save
+    })
+    code = (
+        'import sys, jax; jax.config.update("jax_platforms", "cpu"); '
+        'import bench; sys.exit(bench._ladder_child())'
+    )
+    r = subprocess.run(
+        [sys.executable, '-c', code], env=env, capture_output=True,
+        text=True, timeout=600,
+        cwd=Path(__file__).resolve().parent.parent,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # stdout stays empty: the parent owns the graded line.
+    assert r.stdout.strip() == ''
+    entries = [json.loads(l) for l in results.read_text().splitlines()]
+    assert [e['config'] for e in entries] == ['BANK']
+    e = entries[0]
+    assert e['result']['value'] > 0
+    assert e['result']['config'] == 'BANK'
+    assert '[BANK fallback config]' in e['result']['metric']
+    # The fields _plan's anomaly-exclusive ordering needs.
+    assert e['warmup1_s'] >= 0 and e['wall_s'] >= e['warmup1_s']
+    assert e['source'] in ('compiled', 'aot')
+
+
 def test_graded_entry_prefers_full_then_best_value():
     mk = lambda cfg, fps: {'config': cfg, 'result': {'value': fps, 'config': cfg}}
     assert bench._graded_entry([]) is None
