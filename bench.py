@@ -75,7 +75,12 @@ OWN work (anomaly-exclusive); the first-execution anomaly measured
 7-1040 s across tunnel sessions (BENCH_r04's fatal draw was 527 s;
 round 5 measured 779/1040 s on a cold tunnel) and is excluded on both
 sides: the child credits its measured prewarm wall, the parent waits
-past expiry while nothing is banked.  The serial path after the anomaly
+past expiry while nothing is banked.  Round-5 controlled measurement
+(BASELINE.md "idle-reconnection stall"): the stall tracks the idle gap
+since the last TPU process exited (~1:1 short, saturating ~4-6 min;
+killed-mid-stall processes carry their unfinished stall over), so a
+driver run minutes after the round should expect minutes of stall -
+waited out, never fatal.  The serial path after the anomaly
 is setup + BANK timing + FULL reload/warmup/timing at steady cost
 (~40-80 s), far inside budget.  Cold hosts without artifacts bank a
 compiled XLA-only line instead (~80-340 s); Mosaic configs are never
